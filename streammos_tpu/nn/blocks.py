@@ -1,0 +1,219 @@
+"""Network building blocks (flax.linen, NHWC), re-designing the reference's
+`networks/backbone.py` modules TPU-first.
+
+Parity notes
+------------
+* BatchNorm matches torch defaults: eps 1e-5, running-stat momentum 0.1
+  (flax ``momentum=0.9``). When the training step is jitted over a batch that
+  is sharded across a device mesh, the batch statistics are computed over the
+  *global* batch — XLA inserts the cross-replica reductions — which is exactly
+  the reference's SyncBatchNorm (`train_StreamMOS.py:170`) without a separate
+  wrapper.
+* Point features live as (B, N, C); the reference's 1x1 Conv2d over
+  (B, C, N, 1) tensors is a per-point Dense layer here (same math, and on TPU
+  a (B*N, C) x (C, C') matmul drives the MXU directly).
+* Grids are NHWC; convs use ``bias=False`` exactly where the reference does.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from streammos_tpu.ops import grid_to_point
+
+
+class BN(nn.Module):
+    """BatchNorm with torch-parity defaults."""
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=x.dtype)(x)
+
+
+def conv3x3(out_planes: int, stride: int = 1, dilation: int = 1,
+            bias: bool = False) -> nn.Conv:
+    """3x3 conv with 'same-ish' torch padding (backbone.py:9-11)."""
+    return nn.Conv(out_planes, (3, 3), strides=(stride, stride),
+                   padding=((dilation, dilation), (dilation, dilation)),
+                   kernel_dilation=(dilation, dilation), use_bias=bias)
+
+
+class DownSample2D(nn.Module):
+    """Dual-branch strided downsample (backbone.py:14-34):
+    3x3 conv+BN in parallel with 1x1 conv+BN+3x3 maxpool, sum, ReLU."""
+
+    out_planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        conv_b = conv3x3(self.out_planes, stride=self.stride)(x)
+        conv_b = BN()(conv_b, train)
+
+        pool_b = nn.Conv(self.out_planes, (1, 1), use_bias=False)(x)
+        pool_b = BN()(pool_b, train)
+        pool_b = nn.max_pool(pool_b, (3, 3), strides=(self.stride, self.stride),
+                             padding=((1, 1), (1, 1)))
+        return nn.relu(conv_b + pool_b)
+
+
+class ChannelAtt(nn.Module):
+    """SE-style channel attention (backbone.py:87-102)."""
+
+    channels: int
+    reduction: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        ca = jnp.mean(x, axis=(1, 2), keepdims=True)
+        ca = nn.Conv(self.channels // self.reduction, (1, 1))(ca)
+        ca = nn.relu(ca)
+        ca = nn.Conv(self.channels, (1, 1))(ca)
+        ca = jax.nn.sigmoid(ca)
+        return x * ca
+
+
+class BasicBlock(nn.Module):
+    """Residual 3x3-3x3 block, optional channel attention before the residual
+    add (backbone.py:136-159)."""
+
+    planes: int
+    dilation: int = 1
+    use_att: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out = conv3x3(self.planes)(x)
+        out = BN()(out, train)
+        out = nn.relu(out)
+        out = conv3x3(self.planes, dilation=self.dilation)(out)
+        out = BN()(out, train)
+        if self.use_att:
+            out = ChannelAtt(self.planes)(out, train)
+        return nn.relu(out + x)
+
+
+class UnbalanceBasicBlock(nn.Module):
+    """Asymmetric-convolution residual block (multi_view_encoder.py:478-497):
+    parallel (k0 x k1) and (k1 x k0) convs, concat, 3x3 fuse, residual ReLU."""
+
+    planes: int
+    kernel_size: Tuple[int, int]  # e.g. (7, 3)
+    padding: Tuple[int, int]  # e.g. (3, 1)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        k0, k1 = self.kernel_size
+        p0, p1 = self.padding
+        a = nn.Conv(self.planes, (k0, k1), padding=((p0, p0), (p1, p1)),
+                    use_bias=False)(x)
+        a = nn.relu(BN()(a, train))
+        b = nn.Conv(self.planes, (k1, k0), padding=((p1, p1), (p0, p0)),
+                    use_bias=False)(x)
+        b = nn.relu(BN()(b, train))
+        out = jnp.concatenate([a, b], axis=-1)
+        out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
+                      use_bias=False)(out)
+        out = BN()(out, train)
+        return nn.relu(out + x)
+
+
+class BasicConv2d(nn.Module):
+    """conv + BN + LeakyReLU (multi_view_encoder.py:460-476)."""
+
+    out_planes: int
+    kernel_size: int = 3
+    padding: int = 1
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        k = self.kernel_size
+        p = self.padding
+        x = nn.Conv(self.out_planes, (k, k), padding=((p, p), (p, p)),
+                    use_bias=False)(x)
+        x = BN()(x, train)
+        if self.relu:
+            x = nn.leaky_relu(x, negative_slope=0.01)
+        return x
+
+
+class PointNet(nn.Module):
+    """Per-point MLP layer: (pre-BN) + Dense + BN (+ ReLU)
+    (backbone.py:199-230). Operates on (..., N, C)."""
+
+    cout: int
+    pre_bn: bool = False
+    post_act: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.pre_bn:
+            x = BN()(x, train)
+        x = nn.Dense(self.cout, use_bias=False)(x)
+        x = BN()(x, train)
+        if self.post_act:
+            x = nn.relu(x)
+        return x
+
+
+class PointNetStacker(nn.Module):
+    """Stacked per-point MLP (backbone.py:233-250)."""
+
+    cout: int
+    pre_bn: bool = False
+    post_act: bool = True
+    stack_num: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.stack_num == 1:
+            return PointNet(self.cout, self.pre_bn, self.post_act)(x, train)
+        x = PointNet(self.cout, self.pre_bn, True)(x, train)
+        for _ in range(1, self.stack_num - 1):
+            x = PointNet(self.cout, False, True)(x, train)
+        return PointNet(self.cout, False, self.post_act)(x, train)
+
+
+class CatFusion(nn.Module):
+    """Point-level fusion (backbone.py:387-413): concat, dropout 0.2, two
+    1x1 conv+BN+ReLU stages (sum -> sum/2 -> out)."""
+
+    out_channel: int
+    dropout_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x_list: Sequence[jax.Array], train: bool):
+        x = jnp.concatenate(list(x_list), axis=-1)
+        s = x.shape[-1]
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(s // 2, use_bias=False)(x)
+        x = nn.relu(BN()(x, train))
+        x = nn.Dense(self.out_channel, use_bias=False)(x)
+        x = nn.relu(BN()(x, train))
+        return x
+
+
+class PredBranch(nn.Module):
+    """Dropout + 1x1 classifier head (backbone.py:188-196)."""
+
+    cout: int
+    dropout_rate: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return nn.Dense(self.cout, use_bias=True)(x)
+
+
+class BilinearSampleModule(nn.Module):
+    """Parameter-free grid->point sampler (backbone.py:453-475)."""
+
+    scale_rate: Tuple[float, float]
+
+    def __call__(self, grid, coords):
+        return grid_to_point(grid, coords, self.scale_rate)

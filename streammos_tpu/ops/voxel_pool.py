@@ -1,0 +1,144 @@
+"""Scatter voxel max-pooling — the TPU-native equivalent of the reference's
+`deep_point` CUDA extension.
+
+Semantics (matching `/root/reference/deep_point/src/point_deep_cuda_kernel.cu`):
+
+* per point, per grid dim: ``cell_d = int(float(ind_d) * scale_d)`` with
+  truncation toward zero (`point_deep_cuda_kernel.cu:40`); a point is valid iff
+  every ``cell_d`` lies in ``[0, out_size_d)`` (`:41-46`).
+* forward: each valid point contributes to the max of its cell across all
+  channels; empty cells are 0 (`:56-99` — init-then-atomic-max over a zeroed
+  buffer, so empty cells keep the 0 fill while occupied cells take the true
+  max even when it is negative).
+* backward: the gradient of a cell flows to **every** point whose feature
+  value equals the cell max (value-equality ties each receive the full
+  gradient, `point_deep_cuda_kernel.cu:109-132`).
+
+TPU formulation: linearize cell ids, route invalid points to a sentinel
+segment, and reduce with ``jax.ops.segment_max`` — a single scatter-max that
+XLA lowers natively; the backward pass is two gathers and a compare (no
+scatter at all). A custom VJP pins the tie semantics above and avoids
+re-running the forward scatter in the backward pass.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cell_ids(inds: jax.Array, out_size: Sequence[int],
+              scale_rate: Sequence[float]) -> Tuple[jax.Array, jax.Array]:
+    """Flattened cell id per point plus validity mask.
+
+    inds: (..., N, D) float fractional grid coordinates.
+    Returns (flat_id (..., N) int32 with invalid -> num_cells, valid (..., N)).
+    """
+    D = len(out_size)
+    num_cells = int(np.prod(out_size))
+    flat = jnp.zeros(inds.shape[:-1], dtype=jnp.int32)
+    valid = jnp.ones(inds.shape[:-1], dtype=bool)
+    stride = num_cells
+    for d in range(D):
+        stride //= int(out_size[d])
+        # truncation toward zero, matching the CUDA int64(float * scale) cast
+        cell = (inds[..., d].astype(jnp.float32) * np.float32(scale_rate[d])
+                ).astype(jnp.int32)
+        valid &= (cell >= 0) & (cell < out_size[d])
+        flat += cell * stride
+    flat = jnp.where(valid, flat, num_cells)
+    return flat, valid
+
+
+def _segment_max_2d(feat: jax.Array, flat: jax.Array, num_cells: int) -> jax.Array:
+    """feat (N, C), flat (N,) -> (num_cells, C); empty cells are 0."""
+    out = jax.ops.segment_max(feat, flat, num_segments=num_cells + 1,
+                              indices_are_sorted=False, unique_indices=False)
+    out = out[:num_cells]
+    return jnp.where(jnp.isfinite(out), out, jnp.zeros((), feat.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def voxel_max_pool(feat: jax.Array, inds: jax.Array,
+                   out_size: Tuple[int, ...],
+                   scale_rate: Tuple[float, ...]) -> jax.Array:
+    """Scatter-max N point features into a dense grid.
+
+    Args:
+      feat: (B, N, C) per-point features.
+      inds: (B, N, D) fractional grid coordinates (e.g. D=2 for BEV / RV).
+      out_size: grid extent per index dim, e.g. (512, 512).
+      scale_rate: multiplier applied to each index dim before truncation.
+
+    Returns:
+      (B, *out_size, C) dense grid; cell value = max over points mapping to
+      the cell, 0 for empty cells.
+    """
+    out, _ = _fwd_impl(feat, inds, out_size, scale_rate)
+    return out
+
+
+def _fwd_impl(feat, inds, out_size, scale_rate):
+    B, N, C = feat.shape
+    num_cells = int(np.prod(out_size))
+    flat, valid = _cell_ids(inds, out_size, scale_rate)
+    pooled = jax.vmap(_segment_max_2d, in_axes=(0, 0, None))(feat, flat, num_cells)
+    out = pooled.reshape((B,) + tuple(out_size) + (C,))
+    return out, (feat, flat, valid, out)
+
+
+def _fwd(feat, inds, out_size, scale_rate):
+    out, res = _fwd_impl(feat, inds, out_size, scale_rate)
+    return out, res
+
+
+def _bwd(out_size, scale_rate, res, g):
+    feat, flat, valid, out = res
+    B, N, C = feat.shape
+    num_cells = int(np.prod(out_size))
+    out_flat = out.reshape(B, num_cells, C)
+    g_flat = g.reshape(B, num_cells, C)
+    safe = jnp.minimum(flat, num_cells - 1)
+    # gather each point's cell max and cell grad, route grad to value-ties
+    cell_max = jnp.take_along_axis(out_flat, safe[..., None], axis=1)
+    cell_grad = jnp.take_along_axis(g_flat, safe[..., None], axis=1)
+    is_max = valid[..., None] & (feat == cell_max)
+    grad_feat = jnp.where(is_max, cell_grad, jnp.zeros((), g.dtype))
+    return grad_feat.astype(feat.dtype), None
+
+
+voxel_max_pool.defvjp(_fwd, _bwd)
+
+
+def voxel_max_pool_ref(feat: np.ndarray, inds: np.ndarray,
+                       out_size: Sequence[int],
+                       scale_rate: Sequence[float]) -> np.ndarray:
+    """Slow, obviously-correct NumPy reference (for parity tests), mirroring
+    the CPU fallback `deep_point/src/point_deep.cpp:18-132`."""
+    B, N, C = feat.shape
+    out = np.zeros((B,) + tuple(out_size) + (C,), dtype=feat.dtype)
+    filled = np.zeros((B,) + tuple(out_size), dtype=bool)
+    D = len(out_size)
+    for b in range(B):
+        for n in range(N):
+            cell = []
+            ok = True
+            for d in range(D):
+                c = int(np.float32(inds[b, n, d]) * np.float32(scale_rate[d]))
+                if 0 <= c < out_size[d]:
+                    cell.append(c)
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+            idx = (b,) + tuple(cell)
+            if filled[idx]:
+                out[idx] = np.maximum(out[idx], feat[b, n])
+            else:
+                out[idx] = feat[b, n]
+                filled[idx] = True
+    return out
