@@ -1,0 +1,117 @@
+"""Training losses: CE with ignore, online hard-example mining, and a
+static-shape Lovász-softmax.
+
+Numerical contracts follow the reference:
+* `CE_OHEM` (`/root/reference/utils/criterion.py:10-27`): per-element CE with
+  ignore_index=0 contributing 0, then ``mean + top_weight * mean(top-k)``
+  where k = ``max(int(top_ratio * numel), 1)`` over the *whole* flattened
+  batch (ignored elements count in the means' denominators, as in torch's
+  ``reduce=False`` + ``.mean()``).
+* `lovasz_softmax` (`/root/reference/utils/lovasz_losses.py:147-222`):
+  softmax inside, ``classes='present'``, ``per_image=False``, ignore label 0.
+
+TPU formulation notes: the reference filters ignored elements to a dynamic
+shape before sorting; here ignored elements keep a static position with
+error=0 / fg=0 instead. Because errors are non-negative and sorted
+descending, every position at-or-after an ignored element carries error 0 and
+contributes nothing to the ⟨errors, lovász-grad⟩ dot product, so the loss
+value (and a.e. the gradient) is identical — with fully static shapes. Top-k
+is a descending sort + static slice instead of ``torch.topk``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_per_element(logits: jax.Array, targets: jax.Array,
+                              ignore_index: int = 0,
+                              weight: jax.Array | None = None) -> jax.Array:
+    """logits (..., C), targets (...); ignored positions get 0."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    if weight is not None:
+        nll = nll * jnp.take(weight, tgt)
+    if ignore_index is not None:
+        nll = jnp.where(targets == ignore_index, 0.0, nll)
+    return nll
+
+
+def ce_ohem(logits: jax.Array, targets: jax.Array, top_ratio: float = 0.2,
+            top_weight: float = 4.0, ignore_index: int = 0,
+            weight: jax.Array | None = None) -> jax.Array:
+    """CE + top-k hard-example mining (criterion.py:20-27)."""
+    loss = cross_entropy_per_element(logits, targets, ignore_index, weight)
+    flat = loss.reshape(-1)
+    k = max(int(top_ratio * flat.shape[0]), 1)
+    top = jax.lax.sort(flat, is_stable=False)[flat.shape[0] - k:]
+    return flat.mean() + top_weight * top.mean()
+
+
+def weighted_ce(logits: jax.Array, targets: jax.Array,
+                weight: jax.Array) -> jax.Array:
+    """'wce' mode: torch CrossEntropyLoss(weight=w) mean semantics — the mean
+    is weighted by the per-element class weight (models/StreamMOS.py:49-60;
+    weight[0] = 0 so unlabeled points are excluded)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    w = jnp.take(weight, tgt)
+    return (nll * w).sum() / jnp.maximum(w.sum(), 1e-12)
+
+
+def _lovasz_grad_coeffs(fg_sorted: jax.Array) -> jax.Array:
+    """Jaccard surrogate gradient for one class over a sorted error run
+    (lovasz_losses.py lovasz_grad)."""
+    gts = fg_sorted.sum()
+    inter = gts - jnp.cumsum(fg_sorted, axis=0)
+    union = gts + jnp.cumsum(1.0 - fg_sorted, axis=0)
+    jacc = 1.0 - inter / jnp.maximum(union, 1e-12)
+    return jnp.concatenate([jacc[:1], jacc[1:] - jacc[:-1]], axis=0)
+
+
+def lovasz_softmax(logits: jax.Array, targets: jax.Array,
+                   ignore_index: int = 0) -> jax.Array:
+    """Static-shape Lovász-softmax over present classes.
+
+    logits (..., C), targets (...). Classes with no (valid) foreground are
+    excluded from the mean; all-ignored batches give 0.
+    """
+    C = logits.shape[-1]
+    probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).reshape(-1, C)
+    labels = targets.reshape(-1)
+    valid = (labels != ignore_index).astype(jnp.float32)
+
+    losses = []
+    present = []
+    for c in range(C):
+        fg = ((labels == c).astype(jnp.float32)) * valid
+        errors = jnp.abs(fg - probas[:, c]) * valid  # ignored -> exactly 0
+        # descending sort on errors, carrying fg
+        neg_err, fg_sorted = jax.lax.sort_key_val(-errors, fg)
+        errors_sorted = -neg_err
+        coeffs = jax.lax.stop_gradient(_lovasz_grad_coeffs(fg_sorted))
+        losses.append(jnp.dot(errors_sorted, coeffs))
+        present.append((fg.sum() > 0).astype(jnp.float32))
+
+    losses = jnp.stack(losses)
+    present = jnp.stack(present)
+    denom = present.sum()
+    return jnp.where(denom > 0, (losses * present).sum() / jnp.maximum(denom, 1.0), 0.0)
+
+
+def make_criterion(loss_mode: str, class_num: int,
+                   content_weights: jax.Array | None = None):
+    """Criterion factory mirroring `AttNet.build_loss`
+    (models/StreamMOS.py:42-62)."""
+    if loss_mode == "ce":
+        return lambda lg, tg: cross_entropy_per_element(lg, tg, 0).mean()
+    if loss_mode == "ohem":
+        return lambda lg, tg: ce_ohem(lg, tg, top_ratio=0.2, top_weight=4.0,
+                                      ignore_index=0)
+    if loss_mode == "wce":
+        if content_weights is None:
+            raise ValueError("wce needs per-class content weights")
+        return lambda lg, tg: weighted_ce(lg, tg, content_weights)
+    raise ValueError('loss_mode must be in ["ce", "wce", "ohem"]')

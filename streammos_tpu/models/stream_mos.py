@@ -1,0 +1,267 @@
+"""The StreamMOS network: per-point encoder, multi-view BEV/RV encoder with
+deformable-attention temporal fusion, point-level fusion head — plus the
+stage-2 movable-object refine branch.
+
+TPU re-design of `/root/reference/models/StreamMOS.py` (AttNet) and
+`/root/reference/models/StreamMOS_seg.py` (AttNet + Refine):
+
+* one flax module covers both stages — `with_refine=True` adds the refine
+  branch (`StreamMOS_seg.py:21-30,96`), whose parameter tree is a strict
+  superset of stage 1's, so stage-2 init can graft stage-1 weights
+  (`train_StreamMOS_seg.py:165-167` strict=False load);
+* the whole per-frame forward is one jittable function with the short-term
+  memory as an explicit carry; the first-frame (learned query) and
+  streaming (carried memory) paths share a single graph via a traced
+  `use_memory` flag, so streaming never recompiles;
+* the per-window BEV label rasterization the reference does on CPU workers
+  (`datasets/data_StreamMOS.py:284-290`) is folded into the jitted loss
+  (`bev_label_from_points`) — the host pipeline only ships points + labels.
+
+Shapes (reference documents torch NCHW at `StreamMOS_seg.py:119-129`; here
+channels-last):
+  points        (B, T, N, 7)   (x, y, z, intensity, dist, diff_x, diff_y)
+  bev_coord     (B, T, N, 3)   fractional coords in the full BEV grid
+  rv_coord      (B, T, N, 2)   fractional coords in the full RV grid
+  memory        (B, Hq, Wq, D) previous fused 1/8-scale map
+  pred          (B, N, class_num)
+  aux_i         (B, H/2, W/2, class_num)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from streammos_tpu.config import ModelConfig
+from streammos_tpu.losses import lovasz_softmax, make_criterion
+from streammos_tpu.nn.blocks import CatFusion, PointNetStacker, PredBranch
+from streammos_tpu.nn.encoder import MultiViewEncoder
+from streammos_tpu.ops import grid_to_point, voxel_max_pool
+
+
+def memory_shape(cfg: ModelConfig, batch: int) -> Tuple[int, int, int, int]:
+    hq, wq = cfg.query_hw
+    return (batch, hq, wq, cfg.d_model)
+
+
+def featurize(xyzi: jax.Array, cfg: ModelConfig) -> Dict[str, jax.Array]:
+    """In-graph per-frame preprocessing: raw (…, N, 4) xyzi -> the network's
+    7-channel point features and fractional BEV / RV coordinates.
+
+    The reference computes this on CPU dataloader workers
+    (`datasets/data_StreamMOS.py:159-184` form_batch -> Quantize /
+    SphereQuantize / make_point_feat); here it is trivially-fused elementwise
+    device work, so the host pipeline ships only raw float32 points.
+    """
+    from streammos_tpu import geometry
+
+    v = cfg.voxel
+    bev_coord = geometry.quantize(xyzi, v.range_x, v.range_y, v.range_z,
+                                  v.bev_shape)
+    rv_coord = geometry.sphere_quantize(xyzi, (-180.0, 180.0), v.rv_theta,
+                                        v.rv_shape)
+    points = geometry.make_point_feat(xyzi, bev_coord)
+    return {"points": points, "bev_coord": bev_coord, "rv_coord": rv_coord}
+
+
+def tta_expand(xyzi: jax.Array) -> jax.Array:
+    """(B, T, N, 4) -> (B*4, T, N, 4): the reference's eval-time TTA — the
+    four (x, y) sign-flip combinations stacked on the batch axis
+    (`datasets/data_StreamMOS.py:495-513`), generated on device."""
+    outs = []
+    for x_sign in (1.0, -1.0):
+        for y_sign in (1.0, -1.0):
+            sign = jnp.asarray([x_sign, y_sign, 1.0, 1.0], xyzi.dtype)
+            outs.append(xyzi * sign)
+    return jnp.concatenate(outs, axis=0)
+
+
+class RefineBranch(nn.Module):
+    """Stage-2 movable-object head over the same three point-feature inputs
+    (StreamMOS_seg.py:21-30)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, feats, train: bool):
+        x = CatFusion(self.cfg.point_feat_out_channels,
+                      self.cfg.dropout_rate, name="bf_point_post")(feats, train)
+        return PredBranch(self.cfg.class_num, self.cfg.dropout_rate,
+                          name="bf_pred_layer")(x, train)
+
+
+class StreamMOSNet(nn.Module):
+    cfg: ModelConfig
+    with_refine: bool = False
+
+    @nn.compact
+    def __call__(self, points, bev_coord, rv_coord, memory, use_memory,
+                 train: bool = False):
+        cfg = self.cfg
+        B, T, N, C = points.shape
+        H, W = cfg.voxel.bev_wl
+        c0 = cfg.context_layers[0]
+
+        # point-wise MLP over all T frames at once (StreamMOS.py:101)
+        pts = points.reshape(B * T, N, C)
+        point_feat = PointNetStacker(c0, pre_bn=True, stack_num=2,
+                                     name="point_pre")(pts, train)
+
+        # scatter every frame into the full BEV grid, then stack frames along
+        # channels, frame-major (StreamMOS.py:102-103)
+        bev = voxel_max_pool(point_feat, bev_coord.reshape(B * T, N, 3)[..., :2],
+                             (H, W), (1.0, 1.0))
+        bev = bev.reshape(B, T, H, W, c0).transpose(0, 2, 3, 1, 4)
+        bev = bev.reshape(B, H, W, T * c0)
+
+        cur_bev = bev_coord[:, 0, :, :2]
+        cur_rv = rv_coord[:, 0]
+
+        (bev_feat, point_feat_1, aux0, aux1, aux2,
+         new_memory) = MultiViewEncoder(cfg, name="bev_net")(
+             bev, cur_bev, cur_rv, memory, use_memory, train)
+
+        point_bev_feat = grid_to_point(bev_feat, cur_bev, cfg.grid2point_scale)
+        point_feat_cur = point_feat.reshape(B, T, N, c0)[:, 0]
+
+        fused = CatFusion(cfg.point_feat_out_channels, cfg.dropout_rate,
+                          name="point_post")(
+                              [point_feat_cur, point_bev_feat, point_feat_1],
+                              train)
+        pred = PredBranch(cfg.class_num, cfg.dropout_rate,
+                          name="pred_layer")(fused, train)
+
+        out = {
+            "pred": pred.astype(jnp.float32),
+            "aux0": aux0.astype(jnp.float32),
+            "aux1": aux1.astype(jnp.float32),
+            "aux2": aux2.astype(jnp.float32),
+            "memory": new_memory,
+        }
+        if self.with_refine:
+            bf = RefineBranch(cfg, name="refine")(
+                [point_feat_cur, point_bev_feat, point_feat_1], train)
+            out["bf_pred"] = bf.astype(jnp.float32)
+        return out
+
+
+def init_model(rng: jax.Array, cfg: ModelConfig, batch: int = 1,
+               num_points: int = 1024, with_refine: bool = False):
+    """Initialize (params, batch_stats) with dummy shapes."""
+    model = StreamMOSNet(cfg, with_refine=with_refine)
+    T = cfg.seq_num
+    dummy = {
+        "points": jnp.zeros((batch, T, num_points, 7), jnp.float32),
+        "bev_coord": jnp.zeros((batch, T, num_points, 3), jnp.float32),
+        "rv_coord": jnp.zeros((batch, T, num_points, 2), jnp.float32),
+    }
+    mem = jnp.zeros(memory_shape(cfg, batch), jnp.float32)
+    variables = model.init({"params": rng}, dummy["points"], dummy["bev_coord"],
+                           dummy["rv_coord"], mem, jnp.asarray(False),
+                           train=False)
+    return model, variables
+
+
+def stage_forward(model: StreamMOSNet, variables, batch: Dict[str, jax.Array],
+                  memory: jax.Array, use_memory, train: bool,
+                  dropout_rng: Optional[jax.Array] = None):
+    """One frame forward (StreamMOS.py:86-113). Returns (outputs, new_vars)
+    where new_vars carries updated batch statistics when training."""
+    mutable = ["batch_stats"] if train else False
+    rngs = {"dropout": dropout_rng} if (train and dropout_rng is not None) else None
+    out = model.apply(variables, batch["points"], batch["bev_coord"],
+                      batch["rv_coord"], memory, use_memory, train=train,
+                      rngs=rngs, mutable=mutable)
+    if train:
+        return out  # (outputs, mutated_vars)
+    return out, None
+
+
+def bev_label_from_points(labels: jax.Array, bev_coord: jax.Array,
+                          out_hw: Tuple[int, int],
+                          scale: Tuple[float, float] = (0.5, 0.5)) -> jax.Array:
+    """Rasterize per-point labels to a BEV label map by per-cell max
+    (data_StreamMOS.py:284-290: VoxelMaxPool of the label values — 'moving'
+    wins over 'static' wins over 'unlabeled'). In-graph; labels (B, N)."""
+    lab = labels.astype(jnp.float32)[..., None]
+    grid = voxel_max_pool(lab, bev_coord, out_hw, scale)
+    return grid[..., 0].astype(jnp.int32)
+
+
+def single_frame_loss(cfg: ModelConfig, outputs: Dict[str, jax.Array],
+                      targets: jax.Array, bev_targets: jax.Array,
+                      criterion=None) -> jax.Array:
+    """Point loss + mean of 3 aux BEV losses, each CE(+OHEM) + 3*lovasz
+    (StreamMOS.py:147-152)."""
+    if criterion is None:
+        criterion = make_criterion(cfg.loss_mode, cfg.class_num)
+    B = targets.shape[0]
+
+    def seg_loss(logits, tgt):
+        return criterion(logits, tgt) + 3.0 * lovasz_softmax(logits, tgt, 0)
+
+    loss1 = seg_loss(outputs["pred"], targets)
+    aux_losses = []
+    for key in ("aux0", "aux1", "aux2"):
+        a = outputs[key].reshape(B, -1, cfg.class_num)
+        aux_losses.append(seg_loss(a, bev_targets.reshape(B, -1)))
+    return loss1 + sum(aux_losses) / 3.0
+
+
+def refine_loss(cfg: ModelConfig, outputs: Dict[str, jax.Array],
+                bf_targets: jax.Array, criterion=None) -> jax.Array:
+    """Stage-2 loss: only the movable head (StreamMOS_seg.py:169)."""
+    if criterion is None:
+        criterion = make_criterion(cfg.loss_mode, cfg.class_num)
+    return (criterion(outputs["bf_pred"], bf_targets)
+            + 3.0 * lovasz_softmax(outputs["bf_pred"], bf_targets, 0))
+
+
+def streaming_loss(model: StreamMOSNet, variables, windows: Dict[str, jax.Array],
+                   cfg: ModelConfig, dropout_rng: jax.Array,
+                   stage2: bool = False):
+    """Streaming training objective over the 3 sliding windows of one sample
+    (StreamMOS.py:155-179): the memory carry threads through all windows and
+    gradients flow through the whole chain (BPTT over the stream).
+
+    windows: dict of arrays with a leading window axis S=3 — either raw
+      xyzi (S, B, T, N, 4) (featurized in-graph) or precomputed
+      points/bev_coord/rv_coord — plus targets (S, B, N)
+      [+ bf_targets (S, B, N) for stage 2].
+    Returns (loss, new_variables).
+    """
+    key = "xyzi" if "xyzi" in windows else "points"
+    S = windows[key].shape[0]
+    B = windows[key].shape[1]
+    criterion = make_criterion(cfg.loss_mode, cfg.class_num)
+    memory = jnp.zeros(memory_shape(cfg, B), jnp.float32)
+    vars_now = variables
+    total = 0.0
+    for i in range(S):
+        if "xyzi" in windows:
+            batch = featurize(windows["xyzi"][i], cfg)
+        else:
+            batch = {
+                "points": windows["points"][i],
+                "bev_coord": windows["bev_coord"][i],
+                "rv_coord": windows["rv_coord"][i],
+            }
+        rng_i = jax.random.fold_in(dropout_rng, i)
+        out, mutated = stage_forward(model, vars_now, batch, memory,
+                                     jnp.asarray(i > 0), train=True,
+                                     dropout_rng=rng_i)
+        vars_now = {**vars_now, **mutated}
+        memory = out["memory"]
+        if stage2:
+            total = total + refine_loss(cfg, out, windows["bf_targets"][i],
+                                        criterion)
+        else:
+            hw = (cfg.voxel.bev_wl[0] // 2, cfg.voxel.bev_wl[1] // 2)
+            bev_tgt = bev_label_from_points(windows["targets"][i],
+                                            batch["bev_coord"][:, 0, :, :2],
+                                            hw, (0.5, 0.5))
+            total = total + single_frame_loss(cfg, out, windows["targets"][i],
+                                              bev_tgt, criterion)
+    return total / S, vars_now
