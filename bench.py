@@ -3,14 +3,19 @@
 Measures the reference's eval configuration (`val_StreamMOS.py:80-126`):
 batch 1 streaming with TTA x4 riding the batch axis, short-term memory
 carried on-device across frames, full production shapes (160k points eval
-padding, T=3, BEV 512x512, RV 64x2048).
+padding, T=3, BEV 512x512, RV 64x2048), featurization in-graph.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is frames/s relative to the 10 Hz LiDAR scan rate (the
 real-time bar — the reference never measured FPS; BASELINE.md).
 
-Inputs are regenerated per frame (distinct buffers) and the memory carry
-feeds back, so results cannot be served from any execution cache.
+Measurement notes (this environment routes the TPU through an RPC tunnel):
+* `block_until_ready` returns before remote execution completes, so timing
+  must force a host materialization (scalar fetch);
+* a single round-trip costs ~30 ms, so the whole F-frame stream runs inside
+  ONE jitted `lax.scan` (memory carry chains the steps; per-step inputs come
+  from a rotating on-device bank so no execution caching is possible) and the
+  tunnel cost is measured separately and subtracted.
 """
 from __future__ import annotations
 
@@ -25,53 +30,62 @@ def main():
     import jax.numpy as jnp
     from streammos_tpu.config import get_config
     from streammos_tpu.models import init_model, memory_shape
-    from streammos_tpu.train.trainer import make_eval_step
+    from streammos_tpu.models.stream_mos import featurize, stage_forward
 
     cfg = get_config("StreamMOS")
     m = cfg.model
     N = cfg.val.frame_point_num  # 160000
-    TTA = 4
-    T = m.seq_num
+    TTA, T = 4, m.seq_num
+    BANK, F = 4, 16  # distinct input frames; streamed steps per measurement
 
-    model, variables = init_model(jax.random.key(0), m, batch=TTA, num_points=N)
-    eval_step = make_eval_step(model, cfg)
+    model, variables = init_model(jax.random.key(0), m, batch=TTA,
+                                  num_points=N)
 
     rng = np.random.default_rng(0)
-    H = m.voxel.bev_shape[0]
-    rh, rw = m.voxel.rv_shape
+    xyzi_bank = jnp.asarray(
+        rng.uniform(-50, 50, size=(BANK, TTA, T, N, 4)).astype(np.float32))
 
-    def frame(seed):
-        r = np.random.default_rng(seed)
-        return {
-            "points": jnp.asarray(r.normal(size=(TTA, T, N, 7)).astype(np.float32)),
-            "bev_coord": jnp.asarray(
-                r.uniform(0, H, size=(TTA, T, N, 3)).astype(np.float32)),
-            "rv_coord": jnp.asarray(np.stack(
-                [r.uniform(0, rh, size=(TTA, T, N)),
-                 r.uniform(0, rw, size=(TTA, T, N))], axis=-1).astype(np.float32)),
-        }
+    @jax.jit
+    def stream(variables, bank, memory):
+        def body(mem, t):
+            batch = featurize(bank[t % BANK], m)
+            out, _ = stage_forward(model, variables, batch, mem,
+                                   jnp.asarray(True), train=False)
+            scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=0)
+            return out["memory"], scores.sum()
 
-    frames = [frame(i) for i in range(8)]
+        mem, sums = jax.lax.scan(body, memory, jnp.arange(F))
+        return sums.sum(), mem
+
     memory = jnp.zeros(memory_shape(m, TTA), jnp.float32)
+    # compile + warm
+    s, memory = stream(variables, xyzi_bank, memory)
+    float(s)
 
-    # warmup / compile
-    scores, _, memory = eval_step(variables, frames[0], memory,
-                                  jnp.asarray(False))
-    scores.block_until_ready()
+    # tunnel round-trip cost (scalar fetch of a trivial computation)
+    trivial = jax.jit(lambda x: x.sum())
+    float(trivial(memory))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(memory))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
 
-    n_iters = 24
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        scores, _, memory = eval_step(variables, frames[i % len(frames)],
-                                      memory, jnp.asarray(True))
-    scores.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
-    fps = 1.0 / dt
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        s, memory = stream(variables, xyzi_bank, memory)
+        float(s)  # force full materialization of the chained stream
+        times.append(time.perf_counter() - t0)
+    total = float(np.median(times))
+    per_frame = max(total - rtt, 1e-9) / F
+    fps = 1.0 / per_frame
 
     print(json.dumps({
         "metric": "streaming_inference_fps_per_chip",
         "value": round(fps, 3),
-        "unit": "frames/s (bs1, TTAx4, 160k pts, T=3)",
+        "unit": "frames/s (bs1, TTAx4, 160k pts, T=3, in-graph featurize)",
         "vs_baseline": round(fps / 10.0, 3),
     }))
 

@@ -1,0 +1,143 @@
+"""Long-term-memory refinement CLI: voxel voting (+ optional instance voting)
+over saved prediction files, then IoU recomputation.
+
+TPU counterpart of `/root/reference/voxel_voting.py` and
+`voxel_instance_voting.py`:
+
+    python tools/voting.py --config StreamMOS --tag base --data /path/sequences
+    python tools/voting.py ... --instance --bf-results <dir>   # stage 2
+
+Reads `<save>/<split>_results/sequences/<seq>/predictions/*.label`, writes
+`refine_<split>_results/...`, and (val split) prints the refined moving IoU.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from concurrent.futures import ProcessPoolExecutor
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from streammos_tpu import geometry
+from streammos_tpu.config import get_config
+from streammos_tpu.data import semantic_kitti as sk
+from streammos_tpu.metrics import MultiClassMetric
+from streammos_tpu.postprocess.voting import (crop_mask, gather_history,
+                                              instance_vote, voxel_vote)
+
+
+def _load_pred(path: str) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.uint32)
+    return sk.relabel((raw & 0xFFFF).astype(np.int64), sk.LEARNING_MAP)
+
+
+def _frame(data_dir: str, pred_dir: str, fid: str):
+    pts = np.fromfile(os.path.join(data_dir, fid + ".bin"),
+                      dtype=np.float32).reshape(-1, 4)
+    pred = _load_pred(os.path.join(pred_dir, fid + ".label"))
+    return pts, pred
+
+
+def process_frame(task):
+    (data_dir, pred_dir, bf_dir, save_dir, fids, fid_idx, poses, voxel,
+     use_instance) = task
+    fid = fids[fid_idx]
+    cur_pts, cur_pred = _frame(data_dir, pred_dir, fid)
+    inv = np.linalg.inv(poses[fid_idx])
+
+    hist_pts, hist_pred = [], []
+    for hid in gather_history(fid_idx, len(fids)):
+        pts, pred = _frame(data_dir, pred_dir, fids[hid])
+        pts = geometry.np_transform(pts, inv @ poses[hid])
+        hist_pts.append(pts)
+        hist_pred.append(pred)
+    hist_pts = np.concatenate(hist_pts)
+    hist_pred = np.concatenate(hist_pred)
+
+    hmask = crop_mask(hist_pts, voxel)
+    cmask = crop_mask(cur_pts, voxel)
+    local_pts = np.concatenate([hist_pts[hmask], cur_pts[cmask]])
+    local_pred = np.concatenate([hist_pred[hmask], cur_pred[cmask]])
+
+    refined = voxel_vote(local_pts[:, :3], local_pred, cur_pts[cmask][:, :3],
+                         cur_pred[cmask], voxel)
+    out = cur_pred.copy()
+    out[cmask] = refined
+
+    if use_instance and bf_dir is not None:
+        bf = np.fromfile(os.path.join(bf_dir, fid + ".label"),
+                         dtype=np.uint32).astype(np.int64)
+        out = instance_vote(cur_pts[:, :3], out, bf, local_pts[:, :3],
+                            local_pred)
+
+    os.makedirs(save_dir, exist_ok=True)
+    inv_lut = sk.label_lut(sk.LEARNING_MAP_INV)
+    inv_lut[out].astype(np.uint32).tofile(os.path.join(save_dir, fid + ".label"))
+    return fid
+
+
+def run_metric(data_root: str, refined_root: str, seq: str = "08"):
+    label_dir = os.path.join(data_root, seq, "labels")
+    pred_dir = os.path.join(refined_root, seq, "predictions")
+    metric = MultiClassMetric(["static", "moving"])
+    for name in sorted(os.listdir(label_dir)):
+        fid = name.split(".")[0]
+        raw = np.fromfile(os.path.join(label_dir, name), dtype=np.uint32)
+        gt = sk.relabel((raw & 0xFFFF).astype(np.int64), sk.LEARNING_MAP)
+        pred = _load_pred(os.path.join(pred_dir, fid + ".label"))
+        scores = np.eye(3, dtype=np.float32)[pred]
+        metric.add_batch(gt, scores)
+    result = metric.get_metric()
+    print("; ".join(f"{k}: {v}" for k, v in result.items()))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser(description="voxel / instance voting")
+    ap.add_argument("--config", default="StreamMOS")
+    ap.add_argument("--tag", default="base")
+    ap.add_argument("--data", required=True, help="sequences dir")
+    ap.add_argument("--split", default="val", choices=["val", "test"])
+    ap.add_argument("--instance", action="store_true")
+    ap.add_argument("--workers", type=int, default=8)
+    args = ap.parse_args()
+
+    cfg = get_config(args.config)
+    voxel = cfg.model.voxel
+    save_path = os.path.join("experiments", cfg.name, args.tag)
+    pred_root = os.path.join(save_path, f"{args.split}_results", "sequences")
+    bf_root = os.path.join(save_path, f"{args.split}_bf_results", "sequences")
+    refined_root = os.path.join(save_path, f"refine_{args.split}_results",
+                                "sequences")
+
+    seqs = ["08"] if args.split == "val" else [str(i) for i in
+                                               range(11, 22)]
+    for seq in seqs:
+        data_dir = os.path.join(args.data, seq, "velodyne")
+        pred_dir = os.path.join(pred_root, seq, "predictions")
+        if not os.path.isdir(pred_dir):
+            continue
+        calib = geometry.parse_calibration(os.path.join(args.data, seq,
+                                                        "calib.txt"))
+        poses = geometry.parse_poses(os.path.join(args.data, seq, "poses.txt"),
+                                     calib)
+        fids = sorted(f.split(".")[0] for f in os.listdir(data_dir))
+        bf_dir = os.path.join(bf_root, seq, "predictions")
+        save_dir = os.path.join(refined_root, seq, "predictions")
+        tasks = [(data_dir, pred_dir,
+                  bf_dir if os.path.isdir(bf_dir) else None, save_dir, fids, i,
+                  poses, voxel, args.instance) for i in range(len(fids))]
+        with ProcessPoolExecutor(max_workers=args.workers) as pool:
+            for i, _ in enumerate(pool.map(process_frame, tasks)):
+                if i % 200 == 0:
+                    print(f"seq {seq}: {i}/{len(tasks)}")
+
+    if args.split == "val":
+        run_metric(args.data, refined_root)
+
+
+if __name__ == "__main__":
+    main()
