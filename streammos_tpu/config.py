@@ -86,7 +86,8 @@ class ModelConfig:
     loss_mode: str = "ohem"  # ce | wce | ohem
     voxel: VoxelConfig = VoxelConfig()
     # numeric policy: compute dtype for conv/matmul heavy stages
-    compute_dtype: str = "float32"  # or "bfloat16"
+    # (production runs bfloat16; parameters and BN/LN statistics stay fp32)
+    compute_dtype: str = "bfloat16"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -180,7 +181,8 @@ def _stream_mos_seg() -> Config:
 @register("StreamMOS_tiny")
 def _stream_mos_tiny() -> Config:
     voxel = VoxelConfig(bev_shape=(64, 64, 30), rv_shape=(16, 256))
-    model = ModelConfig(voxel=voxel, query_hw=(8, 8))
+    # float32 compute: the tiny config runs on the CPU backend in tests
+    model = ModelConfig(voxel=voxel, query_hw=(8, 8), compute_dtype="float32")
     base = Config()
     return dataclasses.replace(
         base,

@@ -86,9 +86,11 @@ class RefineBranch(nn.Module):
 
     @nn.compact
     def __call__(self, feats, train: bool):
+        dt = jnp.dtype(self.cfg.compute_dtype)
         x = CatFusion(self.cfg.point_feat_out_channels,
-                      self.cfg.dropout_rate, name="bf_point_post")(feats, train)
-        return PredBranch(self.cfg.class_num, self.cfg.dropout_rate,
+                      self.cfg.dropout_rate, dtype=dt,
+                      name="bf_point_post")(feats, train)
+        return PredBranch(self.cfg.class_num, self.cfg.dropout_rate, dtype=dt,
                           name="bf_pred_layer")(x, train)
 
 
@@ -100,13 +102,14 @@ class StreamMOSNet(nn.Module):
     def __call__(self, points, bev_coord, rv_coord, memory, use_memory,
                  train: bool = False):
         cfg = self.cfg
+        dt = jnp.dtype(cfg.compute_dtype)
         B, T, N, C = points.shape
         H, W = cfg.voxel.bev_wl
         c0 = cfg.context_layers[0]
 
         # point-wise MLP over all T frames at once (StreamMOS.py:101)
-        pts = points.reshape(B * T, N, C)
-        point_feat = PointNetStacker(c0, pre_bn=True, stack_num=2,
+        pts = points.reshape(B * T, N, C).astype(dt)
+        point_feat = PointNetStacker(c0, pre_bn=True, stack_num=2, dtype=dt,
                                      name="point_pre")(pts, train)
 
         # scatter every frame into the full BEV grid, then stack frames along
@@ -127,10 +130,10 @@ class StreamMOSNet(nn.Module):
         point_feat_cur = point_feat.reshape(B, T, N, c0)[:, 0]
 
         fused = CatFusion(cfg.point_feat_out_channels, cfg.dropout_rate,
-                          name="point_post")(
+                          dtype=dt, name="point_post")(
                               [point_feat_cur, point_bev_feat, point_feat_1],
                               train)
-        pred = PredBranch(cfg.class_num, cfg.dropout_rate,
+        pred = PredBranch(cfg.class_num, cfg.dropout_rate, dtype=dt,
                           name="pred_layer")(fused, train)
 
         out = {

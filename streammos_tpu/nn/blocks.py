@@ -13,10 +13,15 @@ Parity notes
   (B, C, N, 1) tensors is a per-point Dense layer here (same math, and on TPU
   a (B*N, C) x (C, C') matmul drives the MXU directly).
 * Grids are NHWC; convs use ``bias=False`` exactly where the reference does.
+
+Mixed precision: every block takes a ``dtype`` (the compute dtype — bfloat16
+in the production config). Parameters stay float32; BatchNorm statistics are
+always accumulated in float32 (the cast is elementwise and fuses into the
+surrounding conv epilogue).
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,22 +29,29 @@ import flax.linen as nn
 
 from streammos_tpu.ops import grid_to_point
 
+Dtype = Any
+
 
 class BN(nn.Module):
-    """BatchNorm with torch-parity defaults."""
+    """BatchNorm with torch-parity defaults; float32 statistics."""
+
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=x.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32)(
+                             x.astype(jnp.float32))
+        return y.astype(self.dtype)
 
 
 def conv3x3(out_planes: int, stride: int = 1, dilation: int = 1,
-            bias: bool = False) -> nn.Conv:
+            bias: bool = False, dtype: Dtype = jnp.float32) -> nn.Conv:
     """3x3 conv with 'same-ish' torch padding (backbone.py:9-11)."""
     return nn.Conv(out_planes, (3, 3), strides=(stride, stride),
                    padding=((dilation, dilation), (dilation, dilation)),
-                   kernel_dilation=(dilation, dilation), use_bias=bias)
+                   kernel_dilation=(dilation, dilation), use_bias=bias,
+                   dtype=dtype)
 
 
 class DownSample2D(nn.Module):
@@ -48,14 +60,18 @@ class DownSample2D(nn.Module):
 
     out_planes: int
     stride: int = 1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        conv_b = conv3x3(self.out_planes, stride=self.stride)(x)
-        conv_b = BN()(conv_b, train)
+        x = x.astype(self.dtype)
+        conv_b = conv3x3(self.out_planes, stride=self.stride,
+                         dtype=self.dtype)(x)
+        conv_b = BN(self.dtype)(conv_b, train)
 
-        pool_b = nn.Conv(self.out_planes, (1, 1), use_bias=False)(x)
-        pool_b = BN()(pool_b, train)
+        pool_b = nn.Conv(self.out_planes, (1, 1), use_bias=False,
+                         dtype=self.dtype)(x)
+        pool_b = BN(self.dtype)(pool_b, train)
         pool_b = nn.max_pool(pool_b, (3, 3), strides=(self.stride, self.stride),
                              padding=((1, 1), (1, 1)))
         return nn.relu(conv_b + pool_b)
@@ -66,13 +82,16 @@ class ChannelAtt(nn.Module):
 
     channels: int
     reduction: int = 4
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        ca = jnp.mean(x, axis=(1, 2), keepdims=True)
-        ca = nn.Conv(self.channels // self.reduction, (1, 1))(ca)
+        ca = jnp.mean(x.astype(jnp.float32), axis=(1, 2),
+                      keepdims=True).astype(self.dtype)
+        ca = nn.Conv(self.channels // self.reduction, (1, 1),
+                     dtype=self.dtype)(ca)
         ca = nn.relu(ca)
-        ca = nn.Conv(self.channels, (1, 1))(ca)
+        ca = nn.Conv(self.channels, (1, 1), dtype=self.dtype)(ca)
         ca = jax.nn.sigmoid(ca)
         return x * ca
 
@@ -84,16 +103,19 @@ class BasicBlock(nn.Module):
     planes: int
     dilation: int = 1
     use_att: bool = True
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        out = conv3x3(self.planes)(x)
-        out = BN()(out, train)
+        x = x.astype(self.dtype)
+        out = conv3x3(self.planes, dtype=self.dtype)(x)
+        out = BN(self.dtype)(out, train)
         out = nn.relu(out)
-        out = conv3x3(self.planes, dilation=self.dilation)(out)
-        out = BN()(out, train)
+        out = conv3x3(self.planes, dilation=self.dilation,
+                      dtype=self.dtype)(out)
+        out = BN(self.dtype)(out, train)
         if self.use_att:
-            out = ChannelAtt(self.planes)(out, train)
+            out = ChannelAtt(self.planes, dtype=self.dtype)(out, train)
         return nn.relu(out + x)
 
 
@@ -104,21 +126,23 @@ class UnbalanceBasicBlock(nn.Module):
     planes: int
     kernel_size: Tuple[int, int]  # e.g. (7, 3)
     padding: Tuple[int, int]  # e.g. (3, 1)
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)
         k0, k1 = self.kernel_size
         p0, p1 = self.padding
         a = nn.Conv(self.planes, (k0, k1), padding=((p0, p0), (p1, p1)),
-                    use_bias=False)(x)
-        a = nn.relu(BN()(a, train))
+                    use_bias=False, dtype=self.dtype)(x)
+        a = nn.relu(BN(self.dtype)(a, train))
         b = nn.Conv(self.planes, (k1, k0), padding=((p1, p1), (p0, p0)),
-                    use_bias=False)(x)
-        b = nn.relu(BN()(b, train))
+                    use_bias=False, dtype=self.dtype)(x)
+        b = nn.relu(BN(self.dtype)(b, train))
         out = jnp.concatenate([a, b], axis=-1)
         out = nn.Conv(self.planes, (3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False)(out)
-        out = BN()(out, train)
+                      use_bias=False, dtype=self.dtype)(out)
+        out = BN(self.dtype)(out, train)
         return nn.relu(out + x)
 
 
@@ -129,14 +153,16 @@ class BasicConv2d(nn.Module):
     kernel_size: int = 3
     padding: int = 1
     relu: bool = True
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)
         k = self.kernel_size
         p = self.padding
         x = nn.Conv(self.out_planes, (k, k), padding=((p, p), (p, p)),
-                    use_bias=False)(x)
-        x = BN()(x, train)
+                    use_bias=False, dtype=self.dtype)(x)
+        x = BN(self.dtype)(x, train)
         if self.relu:
             x = nn.leaky_relu(x, negative_slope=0.01)
         return x
@@ -149,13 +175,15 @@ class PointNet(nn.Module):
     cout: int
     pre_bn: bool = False
     post_act: bool = True
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)
         if self.pre_bn:
-            x = BN()(x, train)
-        x = nn.Dense(self.cout, use_bias=False)(x)
-        x = BN()(x, train)
+            x = BN(self.dtype)(x, train)
+        x = nn.Dense(self.cout, use_bias=False, dtype=self.dtype)(x)
+        x = BN(self.dtype)(x, train)
         if self.post_act:
             x = nn.relu(x)
         return x
@@ -168,15 +196,17 @@ class PointNetStacker(nn.Module):
     pre_bn: bool = False
     post_act: bool = True
     stack_num: int = 1
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
         if self.stack_num == 1:
-            return PointNet(self.cout, self.pre_bn, self.post_act)(x, train)
-        x = PointNet(self.cout, self.pre_bn, True)(x, train)
+            return PointNet(self.cout, self.pre_bn, self.post_act,
+                            self.dtype)(x, train)
+        x = PointNet(self.cout, self.pre_bn, True, self.dtype)(x, train)
         for _ in range(1, self.stack_num - 1):
-            x = PointNet(self.cout, False, True)(x, train)
-        return PointNet(self.cout, False, self.post_act)(x, train)
+            x = PointNet(self.cout, False, True, self.dtype)(x, train)
+        return PointNet(self.cout, False, self.post_act, self.dtype)(x, train)
 
 
 class CatFusion(nn.Module):
@@ -185,16 +215,17 @@ class CatFusion(nn.Module):
 
     out_channel: int
     dropout_rate: float = 0.2
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_list: Sequence[jax.Array], train: bool):
-        x = jnp.concatenate(list(x_list), axis=-1)
+        x = jnp.concatenate([v.astype(self.dtype) for v in x_list], axis=-1)
         s = x.shape[-1]
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(s // 2, use_bias=False)(x)
-        x = nn.relu(BN()(x, train))
-        x = nn.Dense(self.out_channel, use_bias=False)(x)
-        x = nn.relu(BN()(x, train))
+        x = nn.Dense(s // 2, use_bias=False, dtype=self.dtype)(x)
+        x = nn.relu(BN(self.dtype)(x, train))
+        x = nn.Dense(self.out_channel, use_bias=False, dtype=self.dtype)(x)
+        x = nn.relu(BN(self.dtype)(x, train))
         return x
 
 
@@ -203,11 +234,13 @@ class PredBranch(nn.Module):
 
     cout: int
     dropout_rate: float = 0.2
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        return nn.Dense(self.cout, use_bias=True)(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(
+            x.astype(self.dtype))
+        return nn.Dense(self.cout, use_bias=True, dtype=self.dtype)(x)
 
 
 class BilinearSampleModule(nn.Module):

@@ -16,7 +16,7 @@ cross-attn + LN + FFN layer structure (the reference's constructed-but-unused
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,7 @@ class MSDeformAttn(nn.Module):
     d_model: int = 128
     n_heads: int = 4
     n_points: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, ref_points, src, spatial_hw: Tuple[int, int],
@@ -64,20 +65,21 @@ class MSDeformAttn(nn.Module):
         M, P = self.n_heads, self.n_points
         Dh = C // M
 
-        value = nn.Dense(self.d_model, use_bias=True,
+        value = nn.Dense(self.d_model, use_bias=True, dtype=self.dtype,
                          kernel_init=nn.initializers.xavier_uniform(),
                          name="value_proj")(src)
         value = value.reshape(B, H, W, M, Dh)
 
         offsets = nn.Dense(
-            M * P * 2, use_bias=True,
+            M * P * 2, use_bias=True, dtype=self.dtype,
             kernel_init=nn.initializers.zeros,
             bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
                 _rotational_offset_bias(M, P), dtype),
             name="sampling_offsets")(query)
         offsets = offsets.reshape(B, Lq, M, P, 2)
 
-        attn = nn.Dense(M * P, use_bias=True, kernel_init=nn.initializers.zeros,
+        attn = nn.Dense(M * P, use_bias=True, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros,
                         name="attention_weights")(query)
         attn = jax.nn.softmax(attn.reshape(B, Lq, M, P), axis=-1)
 
@@ -85,7 +87,7 @@ class MSDeformAttn(nn.Module):
         loc = ref_points[None, :, None, None, :] + offsets / normalizer
 
         out = deform_attn_sample(value, loc, attn)
-        out = nn.Dense(self.d_model, use_bias=True,
+        out = nn.Dense(self.d_model, use_bias=True, dtype=self.dtype,
                        kernel_init=nn.initializers.xavier_uniform(),
                        name="output_proj")(out)
         return out
@@ -99,21 +101,26 @@ class DeformAttnLayer(nn.Module):
     dropout: float = 0.0
     n_heads: int = 4
     n_points: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, ref_points, src, spatial_hw, train: bool):
         attn_out = MSDeformAttn(self.d_model, self.n_heads, self.n_points,
+                                dtype=self.dtype,
                                 name="cross_attn")(query, ref_points, src,
                                                    spatial_hw, train)
         attn_out = nn.Dropout(self.dropout, deterministic=not train)(attn_out)
-        query = nn.LayerNorm(epsilon=1e-5)(query + attn_out)
+        # LayerNorm statistics in float32 for stability
+        query = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(
+            (query + attn_out).astype(jnp.float32)).astype(self.dtype)
 
-        ffn = nn.Dense(self.d_ffn)(query)
+        ffn = nn.Dense(self.d_ffn, dtype=self.dtype)(query)
         ffn = nn.relu(ffn)
         ffn = nn.Dropout(self.dropout, deterministic=not train)(ffn)
-        ffn = nn.Dense(self.d_model)(ffn)
+        ffn = nn.Dense(self.d_model, dtype=self.dtype)(ffn)
         ffn = nn.Dropout(self.dropout, deterministic=not train)(ffn)
-        return nn.LayerNorm(epsilon=1e-5)(query + ffn)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)(
+            (query + ffn).astype(jnp.float32)).astype(self.dtype)
 
 
 class DeformAttnModule(nn.Module):
@@ -126,6 +133,7 @@ class DeformAttnModule(nn.Module):
     dropout: float = 0.0
     n_heads: int = 4
     n_points: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, src, spatial_hw: Tuple[int, int], train: bool):
@@ -133,6 +141,7 @@ class DeformAttnModule(nn.Module):
         for i in range(self.num_layers):
             query = DeformAttnLayer(self.d_model, self.d_ffn, self.dropout,
                                     self.n_heads, self.n_points,
+                                    dtype=self.dtype,
                                     name=f"layer{i}")(query, refs, src,
                                                       spatial_hw, train)
         return query

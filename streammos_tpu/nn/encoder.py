@@ -21,7 +21,7 @@ The `AttMerge` decoder modules the reference constructs but never calls
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,18 +45,22 @@ class ConvStage(nn.Module):
     num_blocks: int
     stride: int = 1
     unbalance_kernel: Tuple[int, int] | None = None  # e.g. (7, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = DownSample2D(self.out_planes, stride=self.stride)(x, train)
+        x = DownSample2D(self.out_planes, stride=self.stride,
+                         dtype=self.dtype)(x, train)
         for i in range(self.num_blocks):
             if i == 0 and self.unbalance_kernel is not None:
                 k0, k1 = self.unbalance_kernel
                 x = UnbalanceBasicBlock(self.out_planes, (k0, k1),
-                                        (k0 // 2, k1 // 2))(x, train)
+                                        (k0 // 2, k1 // 2),
+                                        dtype=self.dtype)(x, train)
             else:
-                x = BasicBlock(self.out_planes, use_att=False)(x, train)
-        x = BasicBlock(self.out_planes, use_att=True)(x, train)
+                x = BasicBlock(self.out_planes, use_att=False,
+                               dtype=self.dtype)(x, train)
+        x = BasicBlock(self.out_planes, use_att=True, dtype=self.dtype)(x, train)
         return x
 
 
@@ -80,70 +84,76 @@ class MultiViewEncoder(nn.Module):
     def __call__(self, bev_in, bev_coord, rv_coord, memory, use_memory,
                  train: bool):
         cfg = self.cfg
+        dt = jnp.dtype(cfg.compute_dtype)
         c_in, c1, c2, c3 = cfg.context_layers  # (64, 32, 64, 128)
         n1, n2, n3 = cfg.layers  # (2, 3, 4)
         rv_h, rv_w = cfg.voxel.rv_shape
 
         # ---- stage 0: full grid -> 1/2, asymmetric 7x3 block
-        x0 = ConvStage(c1, n1, stride=2, unbalance_kernel=(7, 3),
-                       name="header_bev")(bev_in, train)
+        x0 = ConvStage(c1, n1, stride=2, unbalance_kernel=(7, 3), dtype=dt,
+                       name="header_bev")(bev_in.astype(dt), train)
 
         # cascade A through the range view at 1/2 scale
         x0_point = grid_to_point(x0, bev_coord, (0.5, 0.5))
         x0_rv = voxel_max_pool(x0_point, rv_coord, (rv_h // 2, rv_w // 2),
                                (0.5, 0.5))
-        x0_rv = ConvStage(c1, n1 - 1, stride=1, name="header_rv")(x0_rv, train)
+        x0_rv = ConvStage(c1, n1 - 1, stride=1, dtype=dt,
+                          name="header_rv")(x0_rv, train)
         x0_point = grid_to_point(x0_rv, rv_coord, (0.5, 0.5))
         h0, w0 = x0.shape[1], x0.shape[2]
         x0_bev = voxel_max_pool(x0_point, bev_coord, (h0, w0), (0.5, 0.5))
         x0 = jnp.concatenate([x0, x0_bev], axis=-1)  # 2*c1 channels
 
         # ---- stage 1: 1/2 -> 1/4, asymmetric 5x3 block
-        x1 = ConvStage(c2, n2, stride=2, unbalance_kernel=(5, 3),
+        x1 = ConvStage(c2, n2, stride=2, unbalance_kernel=(5, 3), dtype=dt,
                        name="res1_bev")(x0, train)
 
         x1_point = grid_to_point(x1, bev_coord, (0.25, 0.25))
         x1_rv = voxel_max_pool(x1_point, rv_coord, (rv_h // 4, rv_w // 4),
                                (0.25, 0.25))
-        x1_rv = ConvStage(c2, n2 - 1, stride=1, name="res1_rv")(x1_rv, train)
+        x1_rv = ConvStage(c2, n2 - 1, stride=1, dtype=dt,
+                          name="res1_rv")(x1_rv, train)
         x1_point = grid_to_point(x1_rv, rv_coord, (0.25, 0.25))
         h1, w1 = x1.shape[1], x1.shape[2]
         x1_bev = voxel_max_pool(x1_point, bev_coord, (h1, w1), (0.25, 0.25))
         x1 = jnp.concatenate([x1, x1_bev], axis=-1)  # 2*c2 channels
 
         # ---- stage 2: 1/4 -> 1/8
-        x2 = ConvStage(c3, n3, stride=2, name="res2")(x1, train)
+        x2 = ConvStage(c3, n3, stride=2, dtype=dt, name="res2")(x1, train)
         B, hq, wq, d = x2.shape
 
         # ---- deformable-attention temporal fusion at 1/8
         learned_query = self.param(
             "query_embed", nn.initializers.normal(stddev=1.0),
-            (hq * wq, d), x2.dtype)
+            (hq * wq, d), jnp.float32)
         query = jnp.where(
             use_memory,
             memory.reshape(B, hq * wq, d),
-            jnp.broadcast_to(learned_query[None], (B, hq * wq, d)))
+            jnp.broadcast_to(learned_query[None].astype(memory.dtype),
+                             (B, hq * wq, d)))
         src = x2.reshape(B, hq * wq, d)
         fused = DeformAttnModule(cfg.n_attn_layers, cfg.d_model, cfg.ffn_dim,
                                  cfg.attn_dropout, cfg.n_heads, cfg.n_points,
-                                 name="deformattn")(query, src, (hq, wq), train)
+                                 dtype=dt, name="deformattn")(
+                                     query.astype(dt), src, (hq, wq), train)
         x2 = fused.reshape(B, hq, wq, d)
-        new_memory = x2
+        new_memory = x2.astype(jnp.float32)
 
         # ---- parameter-free multi-scale decoder at 1/2 resolution
         res_0 = x0  # already (h0, w0)
         res_1 = resize_bilinear_align_corners(x1, (h0, w0))
         res_2 = resize_bilinear_align_corners(x2, (h0, w0))
         out = jnp.concatenate([res_0, res_1, res_2], axis=-1)
-        out = BasicConv2d(128, kernel_size=3, padding=1, name="conv_1")(out, train)
+        out = BasicConv2d(128, kernel_size=3, padding=1, dtype=dt,
+                          name="conv_1")(out, train)
         out_channels = (c3 + c2) // 2 + c1  # fusion_channels1
         out = BasicConv2d(out_channels // 2, kernel_size=3, padding=1,
-                          name="conv_2")(out, train)
+                          dtype=dt, name="conv_2")(out, train)
 
         # ---- auxiliary BEV heads (1x1, bias like torch nn.Conv2d default)
-        aux0 = nn.Conv(cfg.class_num, (1, 1), name="aux_head1")(res_0)
-        aux1 = nn.Conv(cfg.class_num, (1, 1), name="aux_head2")(res_1)
-        aux2 = nn.Conv(cfg.class_num, (1, 1), name="aux_head3")(res_2)
+        aux0 = nn.Conv(cfg.class_num, (1, 1), dtype=dt, name="aux_head1")(res_0)
+        aux1 = nn.Conv(cfg.class_num, (1, 1), dtype=dt, name="aux_head2")(res_1)
+        aux2 = nn.Conv(cfg.class_num, (1, 1), dtype=dt, name="aux_head3")(res_2)
 
         return out, x1_point, aux0, aux1, aux2, new_memory
 
