@@ -44,37 +44,46 @@ def deform_attn_sample(value: jax.Array, loc: jax.Array,
 
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
-    fy = (py - y0)
-    fx = (px - x0)
+    fy = (py - y0).astype(value.dtype)
+    fx = (px - x0).astype(value.dtype)
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    # (B, M, HW, Dh) so each head gathers from its own flattened map
-    vflat = value.transpose(0, 3, 1, 2, 4).reshape(B, M, H * W, Dh)
+    # TPU gathers are row-count bound, so fetch each sample's whole 2x2
+    # neighborhood as ONE 4*Dh-wide row from a per-head patch grid (same
+    # trick as ops/sample.py): P[h, w] = (V[h,w], V[h,w+1], V[h+1,w],
+    # V[h+1,w+1]) over a zero-padded map.
+    vpad = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    patch = jnp.concatenate(
+        [vpad[:, :-1, :-1], vpad[:, :-1, 1:], vpad[:, 1:, :-1],
+         vpad[:, 1:, 1:]], axis=-1)  # (B, H+1, W+1, M, 4*Dh)
+    Hp, Wp = H + 1, W + 1
+    pflat = patch.transpose(0, 3, 1, 2, 4).reshape(B, M, Hp * Wp, 4 * Dh)
 
-    def gather_head(vh, ids):
-        # vh (HW, Dh), ids (Lq*P,) -> (Lq*P, Dh)
-        return jnp.take(vh, ids, axis=0)
+    yy = jnp.clip(y0i + 1, 0, Hp - 1)
+    xx = jnp.clip(x0i + 1, 0, Wp - 1)
+    ids = (yy * Wp + xx).transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
 
-    acc = None
-    for dy in (0, 1):
-        for dx in (0, 1):
-            yy = y0i + dy
-            xx = x0i + dx
-            ok = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
-            ids = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
-            # (B, M, Lq*P)
-            ids_bm = ids.transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
-            tap = jax.vmap(jax.vmap(gather_head))(vflat, ids_bm)
-            tap = tap.reshape(B, M, Lq, P, Dh)
-            wy = fy if dy else 1.0 - fy
-            wx = fx if dx else 1.0 - fx
-            w = (wy * wx * ok).astype(value.dtype)  # (B, Lq, M, P)
-            w = w.transpose(0, 2, 1, 3)[..., None]  # (B, M, Lq, P, 1)
-            acc = tap * w if acc is None else acc + tap * w
+    def gather_head(vh, ih):
+        return jnp.take(vh, ih, axis=0)
 
-    wmix = weights.transpose(0, 2, 1, 3)[..., None].astype(value.dtype)
-    out = (acc * wmix).sum(axis=3)  # (B, M, Lq, Dh)
+    rows = jax.vmap(jax.vmap(gather_head))(pflat, ids)
+    rows = rows.reshape(B, M, Lq, P, 4, Dh)
+
+    def ok(y, x):
+        return ((y >= 0) & (y < H) & (x >= 0) & (x < W)
+                & (y0i + 1 == yy) & (x0i + 1 == xx))
+
+    w00 = ((1 - fy) * (1 - fx) * ok(y0i, x0i)).astype(value.dtype)
+    w01 = ((1 - fy) * fx * ok(y0i, x0i + 1)).astype(value.dtype)
+    w10 = (fy * (1 - fx) * ok(y0i + 1, x0i)).astype(value.dtype)
+    w11 = (fy * fx * ok(y0i + 1, x0i + 1)).astype(value.dtype)
+    # fold the bilinear tap weights and the attention weights together
+    wtap = jnp.stack([w00, w01, w10, w11], axis=-1)  # (B, Lq, M, P, 4)
+    wtap = wtap * weights[..., None].astype(value.dtype)
+    wtap = wtap.transpose(0, 2, 1, 3, 4)  # (B, M, Lq, P, 4)
+
+    out = jnp.einsum("bmqpt,bmqptd->bmqd", wtap, rows)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * Dh)
 
 

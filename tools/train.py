@@ -36,12 +36,19 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--drop-list", default=None,
                     help="train_split_dynamic_pointnumber.txt path")
+    ap.add_argument("--points", type=int, default=None,
+                    help="override frame_point_num")
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=0)
     args = ap.parse_args()
 
     import jax
+    # honor a backend override even though sitecustomize pre-imports jax
+    # (JAX_PLATFORMS in the environment is too late there)
+    backend = os.environ.get("STREAMMOS_BACKEND")
+    if backend:
+        jax.config.update("jax_platforms", backend)
     import jax.numpy as jnp
     from streammos_tpu import parallel
     from streammos_tpu.config import get_config
@@ -61,6 +68,10 @@ def main():
     if args.data:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, seq_dir=args.data))
+    if args.points:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train,
+                                           frame_point_num=args.points))
     if args.epochs:
         cfg = dataclasses.replace(
             cfg, optimize=dataclasses.replace(cfg.optimize,

@@ -136,7 +136,14 @@ def main():
     ap.add_argument("--split", default="val", choices=["val", "test"])
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--epoch", type=int, default=None)
+    ap.add_argument("--points", type=int, default=None,
+                    help="override frame_point_num")
     args = ap.parse_args()
+
+    import jax
+    backend = os.environ.get("STREAMMOS_BACKEND")
+    if backend:
+        jax.config.update("jax_platforms", backend)
 
     from streammos_tpu.config import get_config
     from streammos_tpu.utils.logging import config_logger
@@ -147,6 +154,11 @@ def main():
             cfg,
             val=dataclasses.replace(cfg.val, seq_dir=args.data),
             test=dataclasses.replace(cfg.test, seq_dir=args.data))
+    if args.points:
+        cfg = dataclasses.replace(
+            cfg,
+            val=dataclasses.replace(cfg.val, frame_point_num=args.points),
+            test=dataclasses.replace(cfg.test, frame_point_num=args.points))
     with_refine = cfg.freeze_except is not None
     logger = config_logger(os.path.join("experiments", cfg.name, args.tag,
                                         "log_val.txt"))
