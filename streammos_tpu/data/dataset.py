@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from streammos_tpu import geometry
+from streammos_tpu import native
 from streammos_tpu.config import DatasetConfig
 from streammos_tpu.data import augment as aug_lib
 from streammos_tpu.data import semantic_kitti as sk
@@ -54,11 +55,16 @@ def _history_ids(i: int, total: int, span: int) -> List[int]:
 
 
 def _load_scan(path: str) -> np.ndarray:
+    if native.available():
+        return native.load_scan(path)
     return np.fromfile(path, dtype=np.float32).reshape(-1, 4)
 
 
 def _load_labels(path: str) -> Tuple[np.ndarray, np.ndarray]:
-    raw = np.fromfile(path, dtype=np.uint32).reshape(-1)
+    if native.available():
+        raw = native.load_labels(path)
+    else:
+        raw = np.fromfile(path, dtype=np.uint32).reshape(-1)
     return sk.split_label(raw)
 
 
@@ -246,19 +252,29 @@ class EvalDataset:
         bf_targets = np.zeros((N,), np.int32)
         valid_mask = None
         pad_length = 0
+        lims = (cfg.voxel.range_x[0], cfg.voxel.range_x[1],
+                cfg.voxel.range_y[0], cfg.voxel.range_y[1],
+                cfg.voxel.range_z[0], cfg.voxel.range_z[1])
         for t, meta in enumerate(metas):
-            pc = geometry.np_transform(_load_scan(meta.pcd_path),
-                                       meta.pose_diff).astype(np.float32)
-            mask = geometry.np_filter_mask(pc, cfg.voxel.range_x,
-                                           cfg.voxel.range_y, cfg.voxel.range_z)
-            kept = pc[mask]
-            n_valid = kept.shape[0]
-            assert n_valid <= N, f"frame_point_num {N} < {n_valid} valid points"
-            # sentinel padding outside every grid (data_StreamMOS.py:565-574)
-            frame = np.full((N, 4), -1000.0, np.float32)
-            frame[:n_valid] = kept
-            frame[n_valid:, 2] = -4000.0
-            xyzi[t] = frame
+            if native.available():
+                # fused C++ load+transform+crop+pad (streammos_tpu/native)
+                frame, n_valid, mask = native.assemble_eval_frame(
+                    meta.pcd_path, meta.pose_diff, lims, N)
+                xyzi[t] = frame
+            else:
+                pc = geometry.np_transform(_load_scan(meta.pcd_path),
+                                           meta.pose_diff).astype(np.float32)
+                mask = geometry.np_filter_mask(pc, cfg.voxel.range_x,
+                                               cfg.voxel.range_y,
+                                               cfg.voxel.range_z)
+                kept = pc[mask]
+                n_valid = kept.shape[0]
+                assert n_valid <= N,                     f"frame_point_num {N} < {n_valid} valid points"
+                # sentinel padding outside every grid (data_StreamMOS.py:565-574)
+                frame = np.full((N, 4), -1000.0, np.float32)
+                frame[:n_valid] = kept
+                frame[n_valid:, 2] = -4000.0
+                xyzi[t] = frame
             if t == 0:
                 valid_mask = mask
                 pad_length = N - n_valid
