@@ -112,6 +112,8 @@ def make_criterion(loss_mode: str, class_num: int,
                                       ignore_index=0)
     if loss_mode == "wce":
         if content_weights is None:
-            raise ValueError("wce needs per-class content weights")
+            from streammos_tpu.data.semantic_kitti import content_class_weights
+            content_weights = jnp.asarray(content_class_weights(
+                class_num=class_num))
         return lambda lg, tg: weighted_ce(lg, tg, content_weights)
     raise ValueError('loss_mode must be in ["ce", "wce", "ohem"]')

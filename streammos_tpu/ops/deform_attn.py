@@ -58,16 +58,15 @@ def deform_attn_sample(value: jax.Array, loc: jax.Array,
         [vpad[:, :-1, :-1], vpad[:, :-1, 1:], vpad[:, 1:, :-1],
          vpad[:, 1:, 1:]], axis=-1)  # (B, H+1, W+1, M, 4*Dh)
     Hp, Wp = H + 1, W + 1
-    pflat = patch.transpose(0, 3, 1, 2, 4).reshape(B, M, Hp * Wp, 4 * Dh)
+    pflat = patch.transpose(0, 3, 1, 2, 4).reshape(B * M * Hp * Wp, 4 * Dh)
 
     yy = jnp.clip(y0i + 1, 0, Hp - 1)
     xx = jnp.clip(x0i + 1, 0, Wp - 1)
-    ids = (yy * Wp + xx).transpose(0, 2, 1, 3).reshape(B, M, Lq * P)
-
-    def gather_head(vh, ih):
-        return jnp.take(vh, ih, axis=0)
-
-    rows = jax.vmap(jax.vmap(gather_head))(pflat, ids)
+    # one flat gather across (batch, head) tables — vmap'd per-table takes
+    # lower to much slower batched gathers on TPU
+    ids = (yy * Wp + xx).transpose(0, 2, 1, 3)  # (B, M, Lq, P)
+    base = (jnp.arange(B * M, dtype=jnp.int32) * (Hp * Wp)).reshape(B, M, 1, 1)
+    rows = jnp.take(pflat, (ids + base).reshape(-1), axis=0)
     rows = rows.reshape(B, M, Lq, P, 4, Dh)
 
     def ok(y, x):
