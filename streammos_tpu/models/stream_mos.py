@@ -224,7 +224,7 @@ def refine_loss(cfg: ModelConfig, outputs: Dict[str, jax.Array],
 
 def streaming_loss(model: StreamMOSNet, variables, windows: Dict[str, jax.Array],
                    cfg: ModelConfig, dropout_rng: jax.Array,
-                   stage2: bool = False):
+                   stage2: bool = False, remat: bool = False):
     """Streaming training objective over the 3 sliding windows of one sample
     (StreamMOS.py:155-179): the memory carry threads through all windows and
     gradients flow through the whole chain (BPTT over the stream).
@@ -242,6 +242,15 @@ def streaming_loss(model: StreamMOSNet, variables, windows: Dict[str, jax.Array]
     memory = jnp.zeros(memory_shape(cfg, B), jnp.float32)
     vars_now = variables
     total = 0.0
+    def one_window(vars_now, batch, memory, use_memory, rng_i):
+        return stage_forward(model, vars_now, batch, memory, use_memory,
+                             train=True, dropout_rng=rng_i)
+
+    if remat:
+        # rematerialize each window's forward: the 3-window BPTT chain
+        # (StreamMOS.py:155-179) otherwise holds 3x activations
+        one_window = jax.checkpoint(one_window, static_argnums=())
+
     for i in range(S):
         if "xyzi" in windows:
             batch = featurize(windows["xyzi"][i], cfg)
@@ -252,9 +261,8 @@ def streaming_loss(model: StreamMOSNet, variables, windows: Dict[str, jax.Array]
                 "rv_coord": windows["rv_coord"][i],
             }
         rng_i = jax.random.fold_in(dropout_rng, i)
-        out, mutated = stage_forward(model, vars_now, batch, memory,
-                                     jnp.asarray(i > 0), train=True,
-                                     dropout_rng=rng_i)
+        out, mutated = one_window(vars_now, batch, memory,
+                                  jnp.asarray(i > 0), rng_i)
         vars_now = {**vars_now, **mutated}
         memory = out["memory"]
         if stage2:

@@ -39,7 +39,8 @@ def create_train_state(variables, tx) -> TrainState:
 
 
 def make_train_step(model: StreamMOSNet, cfg: Config, tx,
-                    stage2: bool = False, donate: bool = True):
+                    stage2: bool = False, donate: bool = True,
+                    remat: bool = False):
     """Returns a jitted step: (state, windows, rng) -> (state, metrics).
 
     `windows` layout is documented at `streaming_loss`; per-iteration
@@ -53,7 +54,7 @@ def make_train_step(model: StreamMOSNet, cfg: Config, tx,
         def loss_fn(params):
             loss, new_vars = streaming_loss(
                 model, {"params": params, "batch_stats": state.batch_stats},
-                windows, cfg.model, rng, stage2=stage2)
+                windows, cfg.model, rng, stage2=stage2, remat=remat)
             return loss, new_vars["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(

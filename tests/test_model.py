@@ -108,3 +108,20 @@ def test_refine_branch_superset():
     assert p1 < p2
     extra = {k for k in p2 - p1}
     assert extra and all("refine" in k for k in extra)
+
+
+def test_parameter_count_parity():
+    """Live-parameter parity with the reference AttNet.
+
+    The reference's full model has 4.368M params; excluding its dead modules
+    (AttMerge up1/up2, DeformAttnLayer.self_attn — SURVEY.md §7.4) leaves
+    3,927,626. Of those, 512 are the two `normx` LayerNorms each layer
+    constructs but never calls in forward (multi_view_encoder.py:292-293 vs
+    :313-321), so the live compute graph holds exactly 3,927,114 parameters —
+    which this build reproduces to the parameter."""
+    cfg = get_config("StreamMOS")
+    _, variables = init_model(jax.random.key(0), cfg.model, batch=1,
+                              num_points=64)
+    n = sum(int(np.prod(l.shape))
+            for l in jax.tree_util.tree_leaves(variables["params"]))
+    assert n == 3_927_114

@@ -52,6 +52,10 @@ def run_eval(cfg, args, with_refine: bool, logger):
     ckpt_dir = args.checkpoint or os.path.join("experiments", cfg.name,
                                                args.tag, "checkpoint")
     epoch = args.epoch if args.epoch is not None else ckpt_lib.latest_epoch(ckpt_dir)
+    # parallel checkpoint eval (reference quirk val_StreamMOS.py:205
+    # `epoch + rank`): each process evaluates a different epoch
+    if epoch is not None and jax.process_count() > 1:
+        epoch = epoch + jax.process_index()
     if epoch is not None:
         loaded = ckpt_lib.restore(ckpt_dir, epoch, None)
         src_params = loaded.get("params", loaded)
@@ -120,7 +124,8 @@ def run_eval(cfg, args, with_refine: bool, logger):
         line = f"Epoch {epoch}; " + "; ".join(
             f"{k}: {v}" for k, v in result.items())
         logger.info(line)
-        rec = os.path.join("experiments", cfg.name, args.tag, "record_0.txt")
+        rec = os.path.join("experiments", cfg.name, args.tag,
+                           f"record_{jax.process_index()}.txt")
         os.makedirs(os.path.dirname(rec), exist_ok=True)
         with open(rec, "a") as f:
             f.write(line + "\n")
