@@ -36,7 +36,8 @@ import flax.linen as nn
 
 from streammos_tpu.config import ModelConfig
 from streammos_tpu.losses import lovasz_softmax, make_criterion
-from streammos_tpu.nn.blocks import CatFusion, PointNetStacker, PredBranch
+from streammos_tpu.nn.blocks import (CatFusion, PointNetStacker,
+                                     PredBranch, make_fusion)
 from streammos_tpu.nn.encoder import MultiViewEncoder
 from streammos_tpu.ops import grid_to_point, voxel_max_pool
 
@@ -87,9 +88,10 @@ class RefineBranch(nn.Module):
     @nn.compact
     def __call__(self, feats, train: bool):
         dt = jnp.dtype(self.cfg.compute_dtype)
-        x = CatFusion(self.cfg.point_feat_out_channels,
-                      self.cfg.dropout_rate, dtype=dt,
-                      name="bf_point_post")(feats, train)
+        x = make_fusion(self.cfg.fusion_mode,
+                        self.cfg.point_feat_out_channels,
+                        self.cfg.dropout_rate, dt,
+                        name="bf_point_post")(feats, train)
         return PredBranch(self.cfg.class_num, self.cfg.dropout_rate, dtype=dt,
                           name="bf_pred_layer")(x, train)
 
@@ -129,10 +131,10 @@ class StreamMOSNet(nn.Module):
         point_bev_feat = grid_to_point(bev_feat, cur_bev, cfg.grid2point_scale)
         point_feat_cur = point_feat.reshape(B, T, N, c0)[:, 0]
 
-        fused = CatFusion(cfg.point_feat_out_channels, cfg.dropout_rate,
-                          dtype=dt, name="point_post")(
-                              [point_feat_cur, point_bev_feat, point_feat_1],
-                              train)
+        fused = make_fusion(cfg.fusion_mode, cfg.point_feat_out_channels,
+                            cfg.dropout_rate, dt, name="point_post")(
+                                [point_feat_cur, point_bev_feat, point_feat_1],
+                                train)
         pred = PredBranch(cfg.class_num, cfg.dropout_rate, dtype=dt,
                           name="pred_layer")(fused, train)
 

@@ -229,6 +229,72 @@ class CatFusion(nn.Module):
         return x
 
 
+class BranchAttFusion(nn.Module):
+    """Learned-scalar weighted fusion (backbone.py:364-384): per-branch
+    PointNet projections mixed by softmaxed global weights. Selectable via
+    ``fusion_mode='branch_att'`` (the shipped config uses CatFusion)."""
+
+    out_channel: int
+    n_branches: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_list: Sequence[jax.Array], train: bool):
+        weights = self.param("weights", nn.initializers.ones,
+                             (len(x_list),), jnp.float32)
+        w = jax.nn.softmax(weights).astype(self.dtype)
+        out = None
+        for i, x in enumerate(x_list):
+            proj = PointNet(self.out_channel, pre_bn=False, dtype=self.dtype,
+                            name=f"feat_model{i}")(x, train)
+            out = proj * w[i] if out is None else out + proj * w[i]
+        return out
+
+
+class PointAttFusion(nn.Module):
+    """Per-point attention-weighted fusion (backbone.py:416-450): branch
+    projections scored by a softmax over branches per point. Selectable via
+    ``fusion_mode='point_att'``."""
+
+    out_channel: int
+    dropout_rate: float = 0.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_list: Sequence[jax.Array], train: bool):
+        feats = [PointNet(self.out_channel, pre_bn=False, dtype=self.dtype,
+                          name=f"feat_model{i}")(x, train)
+                 for i, x in enumerate(x_list)]
+        stacked = jnp.stack(feats, axis=-2)  # (..., N, S, C)
+        stacked = nn.Dropout(self.dropout_rate,
+                             deterministic=not train)(stacked)
+        S = len(x_list)
+        flat = stacked.reshape(*stacked.shape[:-2], S * self.out_channel)
+        att = nn.Dense(self.out_channel, use_bias=False,
+                       dtype=self.dtype)(flat)
+        att = nn.relu(BN(self.dtype)(att, train))
+        att = nn.Dense(S, use_bias=True, dtype=self.dtype)(att)
+        att = jax.nn.softmax(att, axis=-1)[..., None]  # (..., N, S, 1)
+        return (stacked * att).sum(axis=-2)
+
+
+FUSIONS = {}
+
+
+def make_fusion(mode: str, out_channel: int, dropout_rate: float,
+                dtype: Dtype, name: str):
+    """Fusion-mode registry replacing the reference's
+    ``eval('backbone.{}'.format(fusion_mode))`` (models/StreamMOS.py:82)."""
+    if mode in ("cat", "CatFusion"):
+        return CatFusion(out_channel, dropout_rate, dtype=dtype, name=name)
+    if mode in ("point_att", "PointAttFusion"):
+        return PointAttFusion(out_channel, dropout_rate, dtype=dtype,
+                              name=name)
+    if mode in ("branch_att", "BranchAttFusion"):
+        return BranchAttFusion(out_channel, dtype=dtype, name=name)
+    raise KeyError(f"unknown fusion_mode {mode!r}")
+
+
 class PredBranch(nn.Module):
     """Dropout + 1x1 classifier head (backbone.py:188-196)."""
 
