@@ -30,7 +30,8 @@ def main():
     import jax.numpy as jnp
     from streammos_tpu.config import get_config
     from streammos_tpu.models import init_model, memory_shape
-    from streammos_tpu.models.stream_mos import featurize, stage_forward
+    from streammos_tpu.models.stream_mos import (featurize, stage_forward,
+                                                 tta_expand)
 
     cfg = get_config("StreamMOS")
     m = cfg.model
@@ -38,17 +39,20 @@ def main():
     TTA, T = 4, m.seq_num
     BANK, F = 4, 16  # distinct input frames; streamed steps per measurement
 
+    # tta_fold: the 4 flip variants share one scatter/gather index structure
+    # (ops/tta_fold.py), so the TTA fan rides the channel axis of the
+    # row-count-bound ops instead of quadrupling their rows.
     model, variables = init_model(jax.random.key(0), m, batch=TTA,
-                                  num_points=N)
+                                  num_points=N, tta_fold=True)
 
     rng = np.random.default_rng(0)
     xyzi_bank = jnp.asarray(
-        rng.uniform(-50, 50, size=(BANK, TTA, T, N, 4)).astype(np.float32))
+        rng.uniform(-50, 50, size=(BANK, 1, T, N, 4)).astype(np.float32))
 
     @jax.jit
     def stream(variables, bank, memory):
         def body(mem, t):
-            batch = featurize(bank[t % BANK], m)
+            batch = featurize(tta_expand(bank[t % BANK]), m)
             out, _ = stage_forward(model, variables, batch, mem,
                                    jnp.asarray(True), train=False)
             scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=0)

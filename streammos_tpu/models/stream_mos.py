@@ -39,7 +39,8 @@ from streammos_tpu.losses import lovasz_softmax, make_criterion
 from streammos_tpu.nn.blocks import (CatFusion, PointNetStacker,
                                      PredBranch, make_fusion)
 from streammos_tpu.nn.encoder import MultiViewEncoder
-from streammos_tpu.ops import grid_to_point, voxel_max_pool
+from streammos_tpu.ops import (grid_to_point, grid_to_point_tta,
+                               voxel_max_pool, voxel_max_pool_tta)
 
 
 def memory_shape(cfg: ModelConfig, batch: int) -> Tuple[int, int, int, int]:
@@ -97,8 +98,14 @@ class RefineBranch(nn.Module):
 
 
 class StreamMOSNet(nn.Module):
+    """``tta_fold=True`` (eval-only) expects the batch to be the reference's
+    TTA fan — B = 4*Bt in `tta_expand` variant-major order — and runs every
+    scatter/gather once over the variants' shared index structure
+    (ops/tta_fold.py; 4x fewer rows on the row-count-bound hot ops)."""
+
     cfg: ModelConfig
     with_refine: bool = False
+    tta_fold: bool = False
 
     @nn.compact
     def __call__(self, points, bev_coord, rv_coord, memory, use_memory,
@@ -116,19 +123,36 @@ class StreamMOSNet(nn.Module):
 
         # scatter every frame into the full BEV grid, then stack frames along
         # channels, frame-major (StreamMOS.py:102-103)
-        bev = voxel_max_pool(point_feat, bev_coord.reshape(B * T, N, 3)[..., :2],
-                             (H, W), (1.0, 1.0))
-        bev = bev.reshape(B, T, H, W, c0).transpose(0, 2, 3, 1, 4)
+        if self.tta_fold:
+            Bt = B // 4
+            pf = point_feat.reshape(4, Bt * T, N, c0)
+            coords0 = bev_coord.reshape(4, Bt * T, N, 3)[0]
+            bev = voxel_max_pool_tta(pf, coords0, (H, W), (1.0, 1.0), "bev")
+            bev = bev.reshape(B, T, H, W, c0).transpose(0, 2, 3, 1, 4)
+        else:
+            bev = voxel_max_pool(point_feat,
+                                 bev_coord.reshape(B * T, N, 3)[..., :2],
+                                 (H, W), (1.0, 1.0))
+            bev = bev.reshape(B, T, H, W, c0).transpose(0, 2, 3, 1, 4)
         bev = bev.reshape(B, H, W, T * c0)
 
         cur_bev = bev_coord[:, 0, :, :2]
         cur_rv = rv_coord[:, 0]
 
         (bev_feat, point_feat_1, aux0, aux1, aux2,
-         new_memory) = MultiViewEncoder(cfg, name="bev_net")(
+         new_memory) = MultiViewEncoder(cfg, tta_fold=self.tta_fold,
+                                        name="bev_net")(
              bev, cur_bev, cur_rv, memory, use_memory, train)
 
-        point_bev_feat = grid_to_point(bev_feat, cur_bev, cfg.grid2point_scale)
+        if self.tta_fold:
+            Bt = B // 4
+            pbf = grid_to_point_tta(bev_feat.reshape(4, Bt, *bev_feat.shape[1:]),
+                                    cur_bev.reshape(4, Bt, N, 2)[0],
+                                    cfg.grid2point_scale, "bev")
+            point_bev_feat = pbf.reshape(B, N, -1)
+        else:
+            point_bev_feat = grid_to_point(bev_feat, cur_bev,
+                                           cfg.grid2point_scale)
         point_feat_cur = point_feat.reshape(B, T, N, c0)[:, 0]
 
         fused = make_fusion(cfg.fusion_mode, cfg.point_feat_out_channels,
@@ -153,9 +177,12 @@ class StreamMOSNet(nn.Module):
 
 
 def init_model(rng: jax.Array, cfg: ModelConfig, batch: int = 1,
-               num_points: int = 1024, with_refine: bool = False):
-    """Initialize (params, batch_stats) with dummy shapes."""
-    model = StreamMOSNet(cfg, with_refine=with_refine)
+               num_points: int = 1024, with_refine: bool = False,
+               tta_fold: bool = False):
+    """Initialize (params, batch_stats) with dummy shapes. The parameter
+    tree is identical with/without `tta_fold` (it only reroutes the
+    point-mediated index ops), so checkpoints are interchangeable."""
+    model = StreamMOSNet(cfg, with_refine=with_refine, tta_fold=tta_fold)
     T = cfg.seq_num
     dummy = {
         "points": jnp.zeros((batch, T, num_points, 7), jnp.float32),

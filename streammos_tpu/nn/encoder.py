@@ -31,8 +31,9 @@ from streammos_tpu.config import ModelConfig
 from streammos_tpu.nn.blocks import (BasicBlock, BasicConv2d, DownSample2D,
                                      UnbalanceBasicBlock)
 from streammos_tpu.nn.deform import DeformAttnModule
-from streammos_tpu.ops import (grid_to_point, resize_bilinear_align_corners,
-                               voxel_max_pool)
+from streammos_tpu.ops import (grid_to_point, grid_to_point_tta,
+                               resize_bilinear_align_corners, voxel_max_pool,
+                               voxel_max_pool_tta)
 
 
 class ConvStage(nn.Module):
@@ -75,10 +76,17 @@ class MultiViewEncoder(nn.Module):
                   paths live in one graph via `jnp.where`, so streaming does
                   not recompile between the first and later frames.
 
+    With ``tta_fold=True`` (eval-only) the batch is the reference's TTA fan —
+    B = 4*Bt in `tta_expand` variant-major order — and every point-mediated
+    cascade op runs ONCE over the shared index structure with the variants
+    riding the channel axis (ops/tta_fold.py): 4x fewer scatter/gather rows,
+    the dominant eval cost. Dense convs/attention still run per-variant.
+
     Returns (bev_feat, point_feat_1, aux0, aux1, aux2, new_memory).
     """
 
     cfg: ModelConfig
+    tta_fold: bool = False
 
     @nn.compact
     def __call__(self, bev_in, bev_coord, rv_coord, memory, use_memory,
@@ -88,34 +96,59 @@ class MultiViewEncoder(nn.Module):
         c_in, c1, c2, c3 = cfg.context_layers  # (64, 32, 64, 128)
         n1, n2, n3 = cfg.layers  # (2, 3, 4)
         rv_h, rv_w = cfg.voxel.rv_shape
+        B = bev_in.shape[0]
+
+        if self.tta_fold:
+            # canonical (variant-0) coords carry the shared index structure
+            Bt = B // 4
+            bev0 = bev_coord.reshape(4, Bt, *bev_coord.shape[1:])[0]
+            rv0 = rv_coord.reshape(4, Bt, *rv_coord.shape[1:])[0]
+
+        def cascade_gather(grid, coords, scale, kind):
+            if not self.tta_fold:
+                return grid_to_point(grid, coords, scale)
+            g = grid.reshape(4, B // 4, *grid.shape[1:])
+            c0 = bev0 if kind == "bev" else rv0
+            out = grid_to_point_tta(g, c0, scale, kind)
+            return out.reshape(B, *out.shape[2:])
+
+        def cascade_scatter(pts, coords, out_size, scale, kind):
+            if not self.tta_fold:
+                return voxel_max_pool(pts, coords, out_size, scale)
+            p = pts.reshape(4, B // 4, *pts.shape[1:])
+            c0 = bev0 if kind == "bev" else rv0
+            out = voxel_max_pool_tta(p, c0, out_size, scale, kind)
+            return out.reshape(B, *out.shape[2:])
 
         # ---- stage 0: full grid -> 1/2, asymmetric 7x3 block
         x0 = ConvStage(c1, n1, stride=2, unbalance_kernel=(7, 3), dtype=dt,
                        name="header_bev")(bev_in.astype(dt), train)
 
         # cascade A through the range view at 1/2 scale
-        x0_point = grid_to_point(x0, bev_coord, (0.5, 0.5))
-        x0_rv = voxel_max_pool(x0_point, rv_coord, (rv_h // 2, rv_w // 2),
-                               (0.5, 0.5))
+        x0_point = cascade_gather(x0, bev_coord, (0.5, 0.5), "bev")
+        x0_rv = cascade_scatter(x0_point, rv_coord, (rv_h // 2, rv_w // 2),
+                                (0.5, 0.5), "rv")
         x0_rv = ConvStage(c1, n1 - 1, stride=1, dtype=dt,
                           name="header_rv")(x0_rv, train)
-        x0_point = grid_to_point(x0_rv, rv_coord, (0.5, 0.5))
+        x0_point = cascade_gather(x0_rv, rv_coord, (0.5, 0.5), "rv")
         h0, w0 = x0.shape[1], x0.shape[2]
-        x0_bev = voxel_max_pool(x0_point, bev_coord, (h0, w0), (0.5, 0.5))
+        x0_bev = cascade_scatter(x0_point, bev_coord, (h0, w0), (0.5, 0.5),
+                                 "bev")
         x0 = jnp.concatenate([x0, x0_bev], axis=-1)  # 2*c1 channels
 
         # ---- stage 1: 1/2 -> 1/4, asymmetric 5x3 block
         x1 = ConvStage(c2, n2, stride=2, unbalance_kernel=(5, 3), dtype=dt,
                        name="res1_bev")(x0, train)
 
-        x1_point = grid_to_point(x1, bev_coord, (0.25, 0.25))
-        x1_rv = voxel_max_pool(x1_point, rv_coord, (rv_h // 4, rv_w // 4),
-                               (0.25, 0.25))
+        x1_point = cascade_gather(x1, bev_coord, (0.25, 0.25), "bev")
+        x1_rv = cascade_scatter(x1_point, rv_coord, (rv_h // 4, rv_w // 4),
+                                (0.25, 0.25), "rv")
         x1_rv = ConvStage(c2, n2 - 1, stride=1, dtype=dt,
                           name="res1_rv")(x1_rv, train)
-        x1_point = grid_to_point(x1_rv, rv_coord, (0.25, 0.25))
+        x1_point = cascade_gather(x1_rv, rv_coord, (0.25, 0.25), "rv")
         h1, w1 = x1.shape[1], x1.shape[2]
-        x1_bev = voxel_max_pool(x1_point, bev_coord, (h1, w1), (0.25, 0.25))
+        x1_bev = cascade_scatter(x1_point, bev_coord, (h1, w1), (0.25, 0.25),
+                                 "bev")
         x1 = jnp.concatenate([x1, x1_bev], axis=-1)  # 2*c2 channels
 
         # ---- stage 2: 1/4 -> 1/8

@@ -46,9 +46,11 @@ def run_eval(cfg, args, with_refine: bool, logger):
         raise SystemExit(f"no eval frames under {dcfg.seq_dir}")
 
     TTA = 4
+    # tta_fold: the 4 flip variants share one scatter/gather index structure
+    # (ops/tta_fold.py) — same predictions, ~1.6x faster streaming eval
     model, variables = init_model(jax.random.key(0), cfg.model, batch=TTA,
                                   num_points=dcfg.frame_point_num,
-                                  with_refine=with_refine)
+                                  with_refine=with_refine, tta_fold=True)
     ckpt_dir = args.checkpoint or os.path.join("experiments", cfg.name,
                                                args.tag, "checkpoint")
     epoch = args.epoch if args.epoch is not None else ckpt_lib.latest_epoch(ckpt_dir)
