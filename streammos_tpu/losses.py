@@ -101,6 +101,39 @@ def lovasz_softmax(logits: jax.Array, targets: jax.Array,
     return jnp.where(denom > 0, (losses * present).sum() / jnp.maximum(denom, 1.0), 0.0)
 
 
+def boundary_loss(logits: jax.Array, targets: jax.Array,
+                  theta0: int = 3) -> jax.Array:
+    """Boundary-F1 loss (Bokhovkin et al., arXiv:1905.07852) over BEV maps.
+
+    Mirrors `/root/reference/utils/boundary_loss.py:16-86` (instantiated at
+    `models/StreamMOS.py:37` but never wired into the shipped loss — provided
+    here for capability parity): boundary maps are
+    ``maxpool_{theta0}(1 - x) - (1 - x)`` for the softmax prediction and the
+    one-hot ground truth; per-(image, class) precision/recall over the
+    boundary maps give BF1, and the loss is ``mean(1 - BF1)``.
+
+    logits (B, H, W, C) raw scores; targets (B, H, W) int class ids.
+    """
+    B, H, W, C = logits.shape
+    probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    one_hot = jax.nn.one_hot(targets, C, dtype=jnp.float32)
+
+    def boundary(x):
+        pooled = jax.lax.reduce_window(
+            1.0 - x, -jnp.inf, jax.lax.max,
+            window_dimensions=(1, theta0, theta0, 1),
+            window_strides=(1, 1, 1, 1), padding="SAME")
+        return pooled - (1.0 - x)
+
+    gt_b = boundary(one_hot).reshape(B, -1, C)
+    pred_b = boundary(probas).reshape(B, -1, C)
+    inter = (pred_b * gt_b).sum(axis=1)
+    precision = inter / (pred_b.sum(axis=1) + 1e-7)
+    recall = inter / (gt_b.sum(axis=1) + 1e-7)
+    bf1 = 2.0 * precision * recall / (precision + recall + 1e-7)
+    return jnp.mean(1.0 - bf1)
+
+
 def make_criterion(loss_mode: str, class_num: int,
                    content_weights: jax.Array | None = None):
     """Criterion factory mirroring `AttNet.build_loss`

@@ -4,8 +4,9 @@ import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
 
-from streammos_tpu.losses import (ce_ohem, cross_entropy_per_element,
-                                  lovasz_softmax, weighted_ce)
+from streammos_tpu.losses import (boundary_loss, ce_ohem,
+                                  cross_entropy_per_element, lovasz_softmax,
+                                  weighted_ce)
 
 
 def _torch_ce_ohem(logits, targets, top_ratio=0.2, top_weight=4.0):
@@ -97,6 +98,36 @@ def test_lovasz_gradient_finite():
     # ignored positions receive no gradient
     gi = np.asarray(g)[np.asarray(targets) == 0]
     np.testing.assert_allclose(gi, 0.0, atol=1e-7)
+
+
+def _torch_boundary(logits, targets, theta0=3):
+    """The reference BoundaryLoss math (utils/boundary_loss.py:16-86), with
+    the softmax the paper prescribes (the reference comments it out but the
+    op is dead code there; our impl keeps the sane semantics)."""
+    pred = torch.softmax(torch.as_tensor(logits).permute(0, 3, 1, 2), dim=1)
+    n, c = pred.shape[:2]
+    gt = torch.as_tensor(targets).long()
+    one_hot_gt = torch.eye(c)[gt].permute(0, 3, 1, 2)
+    pad = (theta0 - 1) // 2
+    gt_b = F.max_pool2d(1 - one_hot_gt, theta0, 1, pad) - (1 - one_hot_gt)
+    pred_b = F.max_pool2d(1 - pred, theta0, 1, pad) - (1 - pred)
+    gt_b, pred_b = gt_b.reshape(n, c, -1), pred_b.reshape(n, c, -1)
+    P = (pred_b * gt_b).sum(2) / (pred_b.sum(2) + 1e-7)
+    R = (pred_b * gt_b).sum(2) / (gt_b.sum(2) + 1e-7)
+    bf1 = 2 * P * R / (P + R + 1e-7)
+    return float(torch.mean(1 - bf1))
+
+
+def test_boundary_loss_matches_reference():
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    targets = rng.integers(0, 3, size=(2, 16, 16)).astype(np.int32)
+    ours = float(boundary_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    theirs = _torch_boundary(logits, targets)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+    g = jax.grad(lambda lg: boundary_loss(lg, jnp.asarray(targets)))(
+        jnp.asarray(logits))
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_weighted_ce():
