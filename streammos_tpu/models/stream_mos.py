@@ -122,19 +122,22 @@ class StreamMOSNet(nn.Module):
                                      name="point_pre")(pts, train)
 
         # scatter every frame into the full BEV grid, then stack frames along
-        # channels, frame-major (StreamMOS.py:102-103)
+        # channels, frame-major (StreamMOS.py:102-103). The frame stack stays
+        # in the (B, T, H, W, c0) frame-split layout — the encoder header's
+        # DownSample2D consumes it as per-frame kernel-slice convs summed,
+        # which equals the conv over the T*c0 channel concat without ever
+        # materializing the transpose.
         if self.tta_fold:
             Bt = B // 4
             pf = point_feat.reshape(4, Bt * T, N, c0)
             coords0 = bev_coord.reshape(4, Bt * T, N, 3)[0]
             bev = voxel_max_pool_tta(pf, coords0, (H, W), (1.0, 1.0), "bev")
-            bev = bev.reshape(B, T, H, W, c0).transpose(0, 2, 3, 1, 4)
+            bev = bev.reshape(B, T, H, W, c0)
         else:
             bev = voxel_max_pool(point_feat,
                                  bev_coord.reshape(B * T, N, 3)[..., :2],
                                  (H, W), (1.0, 1.0))
-            bev = bev.reshape(B, T, H, W, c0).transpose(0, 2, 3, 1, 4)
-        bev = bev.reshape(B, H, W, T * c0)
+            bev = bev.reshape(B, T, H, W, c0)
 
         cur_bev = bev_coord[:, 0, :, :2]
         cur_rv = rv_coord[:, 0]

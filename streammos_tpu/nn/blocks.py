@@ -56,7 +56,14 @@ def conv3x3(out_planes: int, stride: int = 1, dilation: int = 1,
 
 class DownSample2D(nn.Module):
     """Dual-branch strided downsample (backbone.py:14-34):
-    3x3 conv+BN in parallel with 1x1 conv+BN+3x3 maxpool, sum, ReLU."""
+    3x3 conv+BN in parallel with 1x1 conv+BN+3x3 maxpool, sum, ReLU.
+
+    Accepts either (B, H, W, C) or the frame-split layout (B, T, H, W, C/T):
+    a conv over T channel-concatenated frames equals the sum of per-frame
+    convs with the matching kernel slice, so the multi-frame BEV stack never
+    pays the (B, T, H, W, c0) -> (B, H, W, T*c0) transpose (a ~400 MB copy
+    that measured 15 ms/frame on v5e — layout moves there run far below HBM
+    speed)."""
 
     out_planes: int
     stride: int = 1
@@ -65,12 +72,33 @@ class DownSample2D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = x.astype(self.dtype)
-        conv_b = conv3x3(self.out_planes, stride=self.stride,
-                         dtype=self.dtype)(x)
+        split = x.ndim == 5
+        T = x.shape[1] if split else 1
+        c_in = T * x.shape[-1]
+        k3 = self.param("conv3_kernel", nn.initializers.lecun_normal(),
+                        (3, 3, c_in, self.out_planes), jnp.float32)
+        k1 = self.param("conv1_kernel", nn.initializers.lecun_normal(),
+                        (1, 1, c_in, self.out_planes), jnp.float32)
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        def apply(kernel, strides, padding):
+            kernel = kernel.astype(self.dtype)
+            if not split:
+                return jax.lax.conv_general_dilated(
+                    x, kernel, strides, padding, dimension_numbers=dn)
+            cs = x.shape[-1]
+            out = None
+            for t in range(T):
+                y = jax.lax.conv_general_dilated(
+                    x[:, t], kernel[:, :, t * cs:(t + 1) * cs], strides,
+                    padding, dimension_numbers=dn)
+                out = y if out is None else out + y
+            return out
+
+        conv_b = apply(k3, (self.stride, self.stride), ((1, 1), (1, 1)))
         conv_b = BN(self.dtype)(conv_b, train)
 
-        pool_b = nn.Conv(self.out_planes, (1, 1), use_bias=False,
-                         dtype=self.dtype)(x)
+        pool_b = apply(k1, (1, 1), ((0, 0), (0, 0)))
         pool_b = BN(self.dtype)(pool_b, train)
         pool_b = nn.max_pool(pool_b, (3, 3), strides=(self.stride, self.stride),
                              padding=((1, 1), (1, 1)))

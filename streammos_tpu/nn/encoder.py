@@ -67,7 +67,10 @@ class ConvStage(nn.Module):
 
 class MultiViewEncoder(nn.Module):
     """Inputs:
-      bev_in:     (B, H, W, T*C0) multi-frame BEV features (H, W = full grid)
+      bev_in:     (B, T, H, W, C0) multi-frame BEV features in the
+                  frame-split layout (H, W = full grid); the header's
+                  DownSample2D consumes it as the T*C0 channel concat
+                  without materializing the transpose
       bev_coord:  (B, N, 2) current-frame fractional BEV coords
       rv_coord:   (B, N, 2) current-frame fractional RV coords
       memory:     (B, Hq, Wq, D) previous fused map (short-term memory)

@@ -80,11 +80,13 @@ def _cell_map(transform: str, size: int) -> np.ndarray:
     raise ValueError(transform)
 
 
-def _perm_ext(transform: str, size: int) -> np.ndarray:
-    """T over the extended tap window [-1, size], with out-of-range targets
-    routed to the zero slot `size` (rolled transforms never leave range —
-    their seam taps are masked by the per-variant weights instead)."""
-    pos = np.arange(-1, size + 1)
+def _perm_ext(transform: str, size: int, shift: int = 0) -> np.ndarray:
+    """T over the extended tap window [-1, size] pre-shifted by `shift`
+    canonical positions (slab slot j holds T(j - 1 + shift)), with
+    out-of-range targets routed to the zero slot `size` (rolled transforms
+    never leave range — their seam taps are masked by the per-variant
+    weights instead)."""
+    pos = np.arange(-1, size + 1) + shift
     if transform == "id":
         t = pos
     elif transform == "rev":
@@ -175,73 +177,73 @@ def grid_to_point_tta(grids: jax.Array, coords0: jax.Array,
     assert V == V_TTA
     dt = grids.dtype
     trs = _transforms(kind)
-    tap_y = 3 if any(t[0] != "id" for t in trs) else 2
-    tap_x = 3 if any(t[1] != "id" for t in trs) else 2
 
     py = coords0[..., 0].astype(jnp.float32) * np.float32(scale_rate[0])
     px = coords0[..., 1].astype(jnp.float32) * np.float32(scale_rate[1])
 
+    # Each variant's two taps per axis sit at offsets (s, s+1) with s in
+    # {-1, 0} depending on its transform. Pre-shifting every variant's slab
+    # by its own s while aligning it to canonical coordinates puts ALL
+    # variants' bilinear windows on the SAME 2x2 taps — 4 wide-row gathers
+    # total. (TPU gathers are row-count bound at ~1.5 ns/row for rows
+    # <= 512 B; materializing a union 3x3 patch slab instead costs HBM copy
+    # traffic that dwarfs the gather itself.)
+    shifts = [(_axis_weights(trs[v][0], H, jnp.zeros((), jnp.float32), dt)[0][0],
+               _axis_weights(trs[v][1], W, jnp.zeros((), jnp.float32), dt)[0][0])
+              for v in range(V)]
+
     # ---- align every variant's grid back to canonical coordinates over the
-    # extended tap window [-1, size] (zero slot for out-of-range), then stack
-    # variants along channels.
+    # extended tap window [-1, size] (zero slot for out-of-range), shifted by
+    # its per-axis tap base, then stack variants along channels.
     aligned = []
     for v in range(V):
         g = jnp.pad(grids[v], ((0, 0), (0, 1), (0, 1), (0, 0)))
-        g = jnp.take(g, _perm_ext(trs[v][0], H), axis=1)
-        g = jnp.take(g, _perm_ext(trs[v][1], W), axis=2)
+        g = jnp.take(g, _perm_ext(trs[v][0], H, shifts[v][0]), axis=1)
+        g = jnp.take(g, _perm_ext(trs[v][1], W, shifts[v][1]), axis=2)
         aligned.append(g)
     gal = jnp.stack(aligned, axis=-2)  # (B, H+2, W+2, V, C)
-    gal = gal.reshape(B, H + 2, W + 2, V * C)
 
-    # ---- tap-window concat: one row per center holds the whole
-    # tap_y x tap_x neighborhood (row-count-bound gathers: fetch wide rows).
-    # center slot c corresponds to canonical floor position c-1; window
-    # offsets start at -1 when the axis has 3 taps, else 0.
-    off_y0 = -1 if tap_y == 3 else 0
-    off_x0 = -1 if tap_x == 3 else 0
-    # gext index j holds ext position j-2; center c's tap dy sits at ext
-    # position (c-1) + off_y0 + dy, i.e. gext index c + off_y0 + dy + 1.
-    gext = jnp.pad(gal, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    rows = []
-    for dy in range(tap_y):
-        cols = []
-        for dx in range(tap_x):
-            ys = off_y0 + dy + 1
-            xs = off_x0 + dx + 1
-            cols.append(gext[:, ys:ys + H + 2, xs:xs + W + 2])
-        rows.append(jnp.concatenate(cols, axis=-1))
-    patch = jnp.concatenate(rows, axis=-1)  # (B, H+2, W+2, ty*tx*V*C)
+    # slab slot j holds the variant's value at canonical ext position
+    # (j-1) + s_v; a point with canonical floor y0 needs tap k at position
+    # y0 + s_v + k, i.e. slot y0 + k + 1 — variant-independent.
+    gflat = gal.reshape(B * (H + 2) * (W + 2), V * C)
+    Wp = W + 2
 
     y0 = jnp.floor(py).astype(jnp.int32)
     x0 = jnp.floor(px).astype(jnp.int32)
     yc = jnp.clip(y0, -1, H) + 1
     xc = jnp.clip(x0, -1, W) + 1
-    Hp, Wp = H + 2, W + 2
-    flat_idx = (yc * Wp + xc
-                + (jnp.arange(B, dtype=jnp.int32) * Hp * Wp)[:, None])
-    fetched = jnp.take(patch.reshape(B * Hp * Wp, -1), flat_idx, axis=0)
-    fetched = fetched.reshape(B, -1, tap_y, tap_x, V, C)
+    base = (yc * Wp + xc
+            + (jnp.arange(B, dtype=jnp.int32) * (H + 2) * Wp)[:, None])
+    # tap (1,1) for a point at slot (H+1, W+1) indexes the next row's slot 0
+    # wide of the table end only at the very last flat slot; its weight is 0
+    # (the clamp guard) but the index must stay in range.
+    last = B * (H + 2) * Wp - 1
 
     # far-out-of-range canonical points: the clamp moved the window; kill all
     # taps (their per-axis validity already excludes everything representable,
     # but the clamp guard keeps the weights exact for |coord| >> grid).
     guard = ((yc - 1 == y0) & (xc - 1 == x0)).astype(dt)
 
-    # ---- per-variant separable weights over the shared window
-    wyx = []
-    for v in range(V):
-        offs_y, wy = _axis_weights(trs[v][0], H, py, dt)
-        offs_x, wx = _axis_weights(trs[v][1], W, px, dt)
-        wy_full = [jnp.zeros_like(wy[0])] * tap_y
-        for o, w in zip(offs_y, wy):
-            wy_full[o - off_y0] = w
-        wx_full = [jnp.zeros_like(wx[0])] * tap_x
-        for o, w in zip(offs_x, wx):
-            wx_full[o - off_x0] = w
-        wy_s = jnp.stack(wy_full, axis=-1)  # (B, N, ty)
-        wx_s = jnp.stack(wx_full, axis=-1)  # (B, N, tx)
-        wyx.append(wy_s[..., :, None] * wx_s[..., None, :] * guard[..., None, None])
-    w = jnp.stack(wyx)  # (V, B, N, ty, tx)
+    # ---- per-variant separable weights over the shared 2x2 window; the
+    # k-th tap weight is _axis_weights' k-th entry (its offsets are exactly
+    # (s_v, s_v + 1), matching the slab pre-shift).
+    wy_all = [jnp.stack(_axis_weights(trs[v][0], H, py, dt)[1], axis=-1)
+              for v in range(V)]  # each (B, N, 2)
+    wx_all = [jnp.stack(_axis_weights(trs[v][1], W, px, dt)[1], axis=-1)
+              for v in range(V)]
 
-    out = jnp.einsum("vbnyx,bnyxvc->vbnc", w, fetched)
-    return out
+    # per-tap fused multiply-accumulate (no stacked tap buffer: each gather
+    # feeds an elementwise FMA that XLA fuses, so nothing ty*tx-wide ever
+    # hits HBM).
+    out = None
+    for dy in range(2):
+        for dx in range(2):
+            idx = jnp.minimum(base + (dy * Wp + dx), last)
+            t = jnp.take(gflat, idx, axis=0).reshape(B, -1, V, C)
+            wk = jnp.stack([wy_all[v][..., dy] * wx_all[v][..., dx]
+                            for v in range(V)], axis=-1)  # (B, N, V)
+            term = t * wk[..., None]
+            out = term if out is None else out + term
+    out = out * guard[..., None, None]
+    return jnp.moveaxis(out, 2, 0)  # (V, B, N, C)
