@@ -31,7 +31,7 @@ def main():
     from streammos_tpu.config import get_config
     from streammos_tpu.models import init_model, memory_shape
     from streammos_tpu.models.stream_mos import (featurize, stage_forward,
-                                                 tta_expand)
+                                                 tta_expand_folded)
 
     cfg = get_config("StreamMOS")
     m = cfg.model
@@ -52,10 +52,11 @@ def main():
     @jax.jit
     def stream(variables, bank, memory):
         def body(mem, t):
-            batch = featurize(tta_expand(bank[t % BANK]), m)
+            batch = featurize(tta_expand_folded(bank[t % BANK]), m)
             out, _ = stage_forward(model, variables, batch, mem,
                                    jnp.asarray(True), train=False)
-            scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=0)
+            # folded pred (Bt, N, V, C): softmax over classes, mean over TTA
+            scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=-2)
             return out["memory"], scores.sum()
 
         mem, sums = jax.lax.scan(body, memory, jnp.arange(F))

@@ -80,6 +80,17 @@ def tta_expand(xyzi: jax.Array) -> jax.Array:
     return jnp.concatenate(outs, axis=0)
 
 
+def tta_expand_folded(xyzi: jax.Array) -> jax.Array:
+    """(B, T, N, 4) -> (B, T, N, 4, 4): the same four flip variants stacked
+    on a MINOR axis — the layout `StreamMOSNet(tta_fold=True)` consumes
+    (variants ride channels through the point side, so the scatter fold
+    needs no transpose). Variant order matches `tta_expand`."""
+    signs = jnp.asarray([[x, y, 1.0, 1.0]
+                         for x in (1.0, -1.0) for y in (1.0, -1.0)],
+                        xyzi.dtype)  # (V, 4)
+    return xyzi[..., None, :] * signs
+
+
 class RefineBranch(nn.Module):
     """Stage-2 movable-object head over the same three point-feature inputs
     (StreamMOS_seg.py:21-30)."""
@@ -98,10 +109,20 @@ class RefineBranch(nn.Module):
 
 
 class StreamMOSNet(nn.Module):
-    """``tta_fold=True`` (eval-only) expects the batch to be the reference's
-    TTA fan — B = 4*Bt in `tta_expand` variant-major order — and runs every
-    scatter/gather once over the variants' shared index structure
-    (ops/tta_fold.py; 4x fewer rows on the row-count-bound hot ops)."""
+    """``tta_fold=True`` (eval-only) runs the reference's 4-variant TTA fan
+    with the variants FOLDED onto a minor axis on the point side and onto the
+    batch axis on the dense grid side:
+
+      points     (Bt, T, N, V=4, 7)  per-variant point features
+      bev_coord  (Bt, T, N, V, 3)    per-variant coords (only variant 0 — the
+      rv_coord   (Bt, T, N, V, 2)    canonical orientation — indexes ops)
+      memory     (4*Bt, Hq, Wq, D)   dense side: variants on the batch axis
+      pred       (Bt, N, V, classes)
+
+    Every scatter/gather runs once over the variants' shared index structure
+    (ops/tta_fold.py: 4x fewer rows on the row-count-bound hot ops), per-point
+    heads broadcast over V (1x1 convs are axis-agnostic), and only the dense
+    convs/attention run per-variant. No variant transpose is ever paid."""
 
     cfg: ModelConfig
     with_refine: bool = False
@@ -112,12 +133,20 @@ class StreamMOSNet(nn.Module):
                  train: bool = False):
         cfg = self.cfg
         dt = jnp.dtype(cfg.compute_dtype)
-        B, T, N, C = points.shape
         H, W = cfg.voxel.bev_wl
         c0 = cfg.context_layers[0]
+        if self.tta_fold:
+            Bt, T, N, V, C = points.shape
+            B = V * Bt  # dense-side batch
+        else:
+            B, T, N, C = points.shape
 
-        # point-wise MLP over all T frames at once (StreamMOS.py:101)
-        pts = points.reshape(B * T, N, C).astype(dt)
+        # point-wise MLP over all T frames at once (StreamMOS.py:101); in
+        # folded mode V is just another broadcast axis for the per-point MLP
+        if self.tta_fold:
+            pts = points.reshape(Bt * T, N, V, C).astype(dt)
+        else:
+            pts = points.reshape(B * T, N, C).astype(dt)
         point_feat = PointNetStacker(c0, pre_bn=True, stack_num=2, dtype=dt,
                                      name="point_pre")(pts, train)
 
@@ -128,19 +157,19 @@ class StreamMOSNet(nn.Module):
         # which equals the conv over the T*c0 channel concat without ever
         # materializing the transpose.
         if self.tta_fold:
-            Bt = B // 4
-            pf = point_feat.reshape(4, Bt * T, N, c0)
-            coords0 = bev_coord.reshape(4, Bt * T, N, 3)[0]
-            bev = voxel_max_pool_tta(pf, coords0, (H, W), (1.0, 1.0), "bev")
-            bev = bev.reshape(B, T, H, W, c0)
+            coords0 = bev_coord[..., 0, :].reshape(Bt * T, N, 3)
+            bev = voxel_max_pool_tta(point_feat, coords0, (H, W), (1.0, 1.0),
+                                     "bev")
+            bev = bev.reshape(B, T, H, W, c0)  # (V, Bt, T, ...) contiguous
+            cur_bev = bev_coord[:, 0, :, 0, :2]  # (Bt, N, 2) canonical
+            cur_rv = rv_coord[:, 0, :, 0]
         else:
             bev = voxel_max_pool(point_feat,
                                  bev_coord.reshape(B * T, N, 3)[..., :2],
                                  (H, W), (1.0, 1.0))
             bev = bev.reshape(B, T, H, W, c0)
-
-        cur_bev = bev_coord[:, 0, :, :2]
-        cur_rv = rv_coord[:, 0]
+            cur_bev = bev_coord[:, 0, :, :2]
+            cur_rv = rv_coord[:, 0]
 
         (bev_feat, point_feat_1, aux0, aux1, aux2,
          new_memory) = MultiViewEncoder(cfg, tta_fold=self.tta_fold,
@@ -148,15 +177,14 @@ class StreamMOSNet(nn.Module):
              bev, cur_bev, cur_rv, memory, use_memory, train)
 
         if self.tta_fold:
-            Bt = B // 4
-            pbf = grid_to_point_tta(bev_feat.reshape(4, Bt, *bev_feat.shape[1:]),
-                                    cur_bev.reshape(4, Bt, N, 2)[0],
-                                    cfg.grid2point_scale, "bev")
-            point_bev_feat = pbf.reshape(B, N, -1)
+            point_bev_feat = grid_to_point_tta(
+                bev_feat.reshape(4, Bt, *bev_feat.shape[1:]), cur_bev,
+                cfg.grid2point_scale, "bev")  # (Bt, N, V, C)
+            point_feat_cur = point_feat.reshape(Bt, T, N, V, c0)[:, 0]
         else:
             point_bev_feat = grid_to_point(bev_feat, cur_bev,
                                            cfg.grid2point_scale)
-        point_feat_cur = point_feat.reshape(B, T, N, c0)[:, 0]
+            point_feat_cur = point_feat.reshape(B, T, N, c0)[:, 0]
 
         fused = make_fusion(cfg.fusion_mode, cfg.point_feat_out_channels,
                             cfg.dropout_rate, dt, name="point_post")(
@@ -187,11 +215,20 @@ def init_model(rng: jax.Array, cfg: ModelConfig, batch: int = 1,
     point-mediated index ops), so checkpoints are interchangeable."""
     model = StreamMOSNet(cfg, with_refine=with_refine, tta_fold=tta_fold)
     T = cfg.seq_num
-    dummy = {
-        "points": jnp.zeros((batch, T, num_points, 7), jnp.float32),
-        "bev_coord": jnp.zeros((batch, T, num_points, 3), jnp.float32),
-        "rv_coord": jnp.zeros((batch, T, num_points, 2), jnp.float32),
-    }
+    if tta_fold:
+        # `batch` is the dense-side batch (the 4-variant TTA fan x Bt)
+        bt = batch // 4
+        dummy = {
+            "points": jnp.zeros((bt, T, num_points, 4, 7), jnp.float32),
+            "bev_coord": jnp.zeros((bt, T, num_points, 4, 3), jnp.float32),
+            "rv_coord": jnp.zeros((bt, T, num_points, 4, 2), jnp.float32),
+        }
+    else:
+        dummy = {
+            "points": jnp.zeros((batch, T, num_points, 7), jnp.float32),
+            "bev_coord": jnp.zeros((batch, T, num_points, 3), jnp.float32),
+            "rv_coord": jnp.zeros((batch, T, num_points, 2), jnp.float32),
+        }
     mem = jnp.zeros(memory_shape(cfg, batch), jnp.float32)
     variables = model.init({"params": rng}, dummy["points"], dummy["bev_coord"],
                            dummy["rv_coord"], mem, jnp.asarray(False),

@@ -33,15 +33,22 @@ Dtype = Any
 
 
 class BN(nn.Module):
-    """BatchNorm with torch-parity defaults; float32 statistics."""
+    """BatchNorm with torch-parity defaults; float32 statistics.
+
+    Training runs the normalization in float32 (batch statistics must not
+    accumulate in bf16). Eval is a pure per-channel scale/shift from the f32
+    running stats, so it runs in the compute dtype — casting every activation
+    to f32 and back costs two full-tensor copies per BN at the memory-bound
+    copy speed this chip sustains, for no accuracy the bf16 convs around it
+    could use."""
 
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
+        comp = jnp.float32 if train else jnp.dtype(self.dtype)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32)(
-                             x.astype(jnp.float32))
+                         epsilon=1e-5, dtype=comp)(x.astype(comp))
         return y.astype(self.dtype)
 
 

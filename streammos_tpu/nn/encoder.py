@@ -101,26 +101,20 @@ class MultiViewEncoder(nn.Module):
         rv_h, rv_w = cfg.voxel.rv_shape
         B = bev_in.shape[0]
 
-        if self.tta_fold:
-            # canonical (variant-0) coords carry the shared index structure
-            Bt = B // 4
-            bev0 = bev_coord.reshape(4, Bt, *bev_coord.shape[1:])[0]
-            rv0 = rv_coord.reshape(4, Bt, *rv_coord.shape[1:])[0]
-
+        # In tta_fold mode the coord inputs are already canonical (variant-0)
+        # with leading Bt = B // 4; gathered point tensors stay in the folded
+        # (Bt, N, V, C) layout between gather and scatter (per-point ops
+        # broadcast over V), so the cascade pays no variant transposes.
         def cascade_gather(grid, coords, scale, kind):
             if not self.tta_fold:
                 return grid_to_point(grid, coords, scale)
             g = grid.reshape(4, B // 4, *grid.shape[1:])
-            c0 = bev0 if kind == "bev" else rv0
-            out = grid_to_point_tta(g, c0, scale, kind)
-            return out.reshape(B, *out.shape[2:])
+            return grid_to_point_tta(g, coords, scale, kind)
 
         def cascade_scatter(pts, coords, out_size, scale, kind):
             if not self.tta_fold:
                 return voxel_max_pool(pts, coords, out_size, scale)
-            p = pts.reshape(4, B // 4, *pts.shape[1:])
-            c0 = bev0 if kind == "bev" else rv0
-            out = voxel_max_pool_tta(p, c0, out_size, scale, kind)
+            out = voxel_max_pool_tta(pts, coords, out_size, scale, kind)
             return out.reshape(B, *out.shape[2:])
 
         # ---- stage 0: full grid -> 1/2, asymmetric 7x3 block

@@ -116,14 +116,18 @@ def voxel_max_pool_tta(feat: jax.Array, coords0: jax.Array,
                        kind: str) -> jax.Array:
     """Scatter all V_TTA variants in ONE max-pool.
 
-    feat:    (V, B, N, C) per-variant point features.
+    feat:    (B, N, V, C) per-variant point features, variant on the MINOR
+             axis (the folded point-side layout — reshaping to the scatter's
+             V*C channel rows is free, where a (V, B, N, C) batch-major
+             layout would pay a ~4 ms moveaxis at production shapes).
     coords0: (B, N, >=2) variant-0 fractional grid coords (shared structure).
     Returns (V, B, H, W, C) — each variant's grid in its OWN orientation,
-    exactly as per-variant `voxel_max_pool` calls would produce.
+    exactly as per-variant `voxel_max_pool` calls would produce (the dense
+    conv side wants variants on the batch axis).
     """
-    V, B, N, C = feat.shape
+    B, N, V, C = feat.shape
     assert V == V_TTA
-    folded = jnp.moveaxis(feat, 0, 2).reshape(B, N, V * C)
+    folded = feat.reshape(B, N, V * C)
     grid = voxel_max_pool(folded, coords0[..., :2], out_size, scale_rate)
     H, W = out_size
     grid = grid.reshape(B, H, W, V, C)
@@ -170,8 +174,10 @@ def grid_to_point_tta(grids: jax.Array, coords0: jax.Array,
     grids:   (V, B, H, W, C) per-variant grids in their own orientations
              (as `voxel_max_pool_tta` / the per-variant convs produce them).
     coords0: (B, N, 2) variant-0 fractional coords in unscaled grid units.
-    Returns (V, B, N, C) — per-variant samples, matching per-variant
-    `grid_to_point` calls.
+    Returns (B, N, V, C) — per-variant samples matching per-variant
+    `grid_to_point` calls, variant on the MINOR axis (the folded point-side
+    layout: per-point heads treat V as a broadcast axis, so no transpose is
+    ever paid).
     """
     V, B, H, W, C = grids.shape
     assert V == V_TTA
@@ -245,5 +251,4 @@ def grid_to_point_tta(grids: jax.Array, coords0: jax.Array,
                             for v in range(V)], axis=-1)  # (B, N, V)
             term = t * wk[..., None]
             out = term if out is None else out + term
-    out = out * guard[..., None, None]
-    return jnp.moveaxis(out, 2, 0)  # (V, B, N, C)
+    return out * guard[..., None, None]  # (B, N, V, C)

@@ -81,13 +81,20 @@ def make_eval_step(model: StreamMOSNet, cfg: Config, with_refine: bool = False):
       (scores (N, C) softmax-averaged over TTA, bf_scores or None, new_memory)
     """
 
+    def tta_mean(pred):
+        # folded layout: (Bt, N, V, C) with Bt == 1; batch-fan: (V, N, C)
+        scores = jax.nn.softmax(pred, axis=-1)
+        if model.tta_fold:
+            return scores[0].mean(axis=-2)
+        return scores.mean(axis=0)
+
     def eval_fn(variables, batch, memory, use_memory):
         out, _ = stage_forward(model, variables, batch, memory, use_memory,
                                train=False)
-        scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=0)
+        scores = tta_mean(out["pred"])
         bf_scores = None
         if with_refine:
-            bf_scores = jax.nn.softmax(out["bf_pred"], axis=-1).mean(axis=0)
+            bf_scores = tta_mean(out["bf_pred"])
         return scores, bf_scores, out["memory"]
 
     return jax.jit(eval_fn)

@@ -52,8 +52,8 @@ def test_scatter_fold_exact(tta_batch, kind, out_size, scale):
     exact = jnp.stack([
         voxel_max_pool(feat[v], coords[v][None, :, :2], out_size, scale)[0]
         for v in range(4)])
-    folded = voxel_max_pool_tta(feat, coords[0][None], out_size, scale,
-                                kind)[:, 0]
+    folded = voxel_max_pool_tta(jnp.moveaxis(feat, 0, 2), coords[0][None],
+                                out_size, scale, kind)[:, 0]
     assert jnp.array_equal(exact, folded), (
         f"{int((exact != folded).sum())} mismatched cells")
 
@@ -66,7 +66,8 @@ def test_gather_fold_close(tta_batch, kind, out_size, scale):
                         .astype(np.float32))
     exact = jnp.stack([grid_to_point(grids[v], coords[v][None, :, :2], scale)
                        for v in range(4)])
-    folded = grid_to_point_tta(grids, coords[0][None, :, :2], scale, kind)
+    folded = jnp.moveaxis(
+        grid_to_point_tta(grids, coords[0][None, :, :2], scale, kind), 2, 0)
     # bilinear fractions enter as 1-f instead of frac(W-p): 1-ulp wiggle
     np.testing.assert_allclose(np.asarray(exact), np.asarray(folded),
                                atol=2e-3, rtol=2e-4)
@@ -102,9 +103,14 @@ def test_full_model_fold_matches_exact_tta():
                                               cfg.d_model)).astype(np.float32))
     out_exact, _ = stage_forward(model, variables, batch, mem,
                                  jnp.asarray(True), train=False)
+    from streammos_tpu.models.stream_mos import tta_expand_folded
+    batch_fold = featurize(tta_expand_folded(xyzi), cfg)
     folded_model = StreamMOSNet(cfg, tta_fold=True)
-    out_fold, _ = stage_forward(folded_model, variables, batch, mem,
+    out_fold, _ = stage_forward(folded_model, variables, batch_fold, mem,
                                 jnp.asarray(True), train=False)
     for k in ("pred", "aux0", "aux1", "aux2", "memory"):
         a, b = np.asarray(out_exact[k]), np.asarray(out_fold[k])
+        if k == "pred":
+            # folded pred is (Bt, N, V, C); exact is (V(=B), N, C)
+            b = np.moveaxis(b[0], -2, 0)
         np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-3, err_msg=k)

@@ -33,7 +33,7 @@ def run_eval(cfg, args, with_refine: bool, logger):
     from streammos_tpu.data.loader import PrefetchLoader
     from streammos_tpu.metrics import MultiClassMetric
     from streammos_tpu.models import init_model, memory_shape
-    from streammos_tpu.models.stream_mos import featurize, tta_expand
+    from streammos_tpu.models.stream_mos import featurize, tta_expand_folded
     from streammos_tpu.train import checkpoint as ckpt_lib
     from streammos_tpu.train.trainer import make_eval_step
     from streammos_tpu.models.stream_mos import StreamMOSNet
@@ -72,7 +72,7 @@ def run_eval(cfg, args, with_refine: bool, logger):
 
     @jax.jit
     def preprocess(xyzi):
-        return featurize(tta_expand(xyzi[None]), cfg.model)
+        return featurize(tta_expand_folded(xyzi[None]), cfg.model)
 
     save_root = os.path.join("experiments", cfg.name, args.tag,
                              f"{args.split}_results", "sequences")
