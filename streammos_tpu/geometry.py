@@ -63,6 +63,23 @@ def _sphere_quantize(xp, pcds, phi_range, theta_range, size):
     return xp.stack((theta_quan, phi_quan), axis=-1)
 
 
+def _cylinder_quantize(xp, pcds, phi_range, range_z, size):
+    """Cartesian -> fractional cylindrical coords (reference utils.py:195-212,
+    unused by shipped configs; kept for view parity). Row 0 is height (z),
+    row 1 azimuth (phi), fractional indices into an (H, W) cylinder image."""
+    H, W = size
+    phi_lo, phi_hi = (phi_range[0] * np.pi / 180.0, phi_range[1] * np.pi / 180.0)
+    dphi = (phi_hi - phi_lo) / W
+    dz = (range_z[1] - range_z[0]) / H
+
+    x = pcds[..., 0]
+    y = pcds[..., 1]
+    z = pcds[..., 2]
+    phi_quan = (phi_hi - xp.arctan2(x, y)) / dphi
+    z_quan = (z - range_z[0]) / dz
+    return xp.stack((z_quan, phi_quan), axis=-1)
+
+
 def _make_point_feat(xp, pcds_xyzi, pcds_coord):
     """Per-point 7-channel feature (reference data_StreamMOS.py:25-50):
     (x, y, z, intensity, dist, diff_x, diff_y) where diff_* are the fractional
@@ -107,6 +124,10 @@ def sphere_quantize(pcds, phi_range, theta_range, size):
     return _sphere_quantize(jnp, pcds, phi_range, theta_range, size)
 
 
+def cylinder_quantize(pcds, phi_range, range_z, size):
+    return _cylinder_quantize(jnp, pcds, phi_range, range_z, size)
+
+
 def make_point_feat(pcds_xyzi, pcds_coord):
     return _make_point_feat(jnp, pcds_xyzi, pcds_coord)
 
@@ -125,6 +146,10 @@ def np_quantize(pcds, range_x, range_y, range_z, size):
 
 def np_sphere_quantize(pcds, phi_range, theta_range, size):
     return _sphere_quantize(np, pcds, phi_range, theta_range, size)
+
+
+def np_cylinder_quantize(pcds, phi_range, range_z, size):
+    return _cylinder_quantize(np, pcds, phi_range, range_z, size)
 
 
 def np_make_point_feat(pcds_xyzi, pcds_coord):

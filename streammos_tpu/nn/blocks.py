@@ -131,6 +131,33 @@ class ChannelAtt(nn.Module):
         return x * ca
 
 
+class SpatialAtt(nn.Module):
+    """Spatial attention map: 3x3 -> 4ch -> 3x3 -> 1ch sigmoid gate
+    (backbone.py:105-120)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        sa = conv3x3(4, dtype=self.dtype)(x)
+        sa = nn.relu(BN(self.dtype)(sa, train))
+        sa = conv3x3(1, bias=True, dtype=self.dtype)(sa)
+        return x * jax.nn.sigmoid(sa)
+
+
+class CSAtt(nn.Module):
+    """Channel attention followed by spatial attention (backbone.py:123-133)."""
+
+    channels: int
+    reduction: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = ChannelAtt(self.channels, self.reduction, dtype=self.dtype)(x, train)
+        return SpatialAtt(dtype=self.dtype)(x, train)
+
+
 class BasicBlock(nn.Module):
     """Residual 3x3-3x3 block, optional channel attention before the residual
     add (backbone.py:136-159)."""
@@ -151,6 +178,28 @@ class BasicBlock(nn.Module):
         out = BN(self.dtype)(out, train)
         if self.use_att:
             out = ChannelAtt(self.planes, dtype=self.dtype)(out, train)
+        return nn.relu(out + x)
+
+
+class BasicBlockV2(nn.Module):
+    """BasicBlock with channel+spatial (CS) attention instead of channel-only
+    (backbone.py:162-185). Unused by the shipped configs; kept selectable."""
+
+    planes: int
+    dilation: int = 1
+    use_att: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)
+        out = conv3x3(self.planes, dtype=self.dtype)(x)
+        out = nn.relu(BN(self.dtype)(out, train))
+        out = conv3x3(self.planes, dilation=self.dilation,
+                      dtype=self.dtype)(out)
+        out = BN(self.dtype)(out, train)
+        if self.use_att:
+            out = CSAtt(self.planes, dtype=self.dtype)(out, train)
         return nn.relu(out + x)
 
 

@@ -68,6 +68,28 @@ def build_optimizer(cfg: OptimizeConfig, per_epoch_iters: int,
     return tx, sched
 
 
+class TSEnsemble:
+    """Temporal ensemble of variables: exponential moving average of a
+    mean-teacher copy (`utils/builder.py:66-110`; unused by the shipped
+    reference configs, kept for capability parity).
+
+    Holds a pytree of averaged variables; ``update(new)`` applies
+    ``mean = alpha * mean + (1 - alpha) * new`` leaf-wise.
+    """
+
+    def __init__(self, variables, alpha: float = 0.95):
+        assert 0.0 <= alpha <= 1.0
+        self.alpha = alpha
+        self.mean_variables = jax.tree_util.tree_map(lambda x: x, variables)
+
+    def update(self, new_variables):
+        a = self.alpha
+        self.mean_variables = jax.tree_util.tree_map(
+            lambda old, new: old * a + new * (1.0 - a),
+            self.mean_variables, new_variables)
+        return self.mean_variables
+
+
 def _freeze_mask(params, keep_substring: str):
     """True = trainable. Matches any path segment containing the substring."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
