@@ -158,15 +158,16 @@ class StreamMOSNet(nn.Module):
         # materializing the transpose.
         if self.tta_fold:
             coords0 = bev_coord[..., 0, :].reshape(Bt * T, N, 3)
+            # point features are post-ReLU -> zero-fill scatter fast path
             bev = voxel_max_pool_tta(point_feat, coords0, (H, W), (1.0, 1.0),
-                                     "bev")
+                                     "bev", nonneg=True)
             bev = bev.reshape(B, T, H, W, c0)  # (V, Bt, T, ...) contiguous
             cur_bev = bev_coord[:, 0, :, 0, :2]  # (Bt, N, 2) canonical
             cur_rv = rv_coord[:, 0, :, 0]
         else:
             bev = voxel_max_pool(point_feat,
                                  bev_coord.reshape(B * T, N, 3)[..., :2],
-                                 (H, W), (1.0, 1.0))
+                                 (H, W), (1.0, 1.0), "auto", True)
             bev = bev.reshape(B, T, H, W, c0)
             cur_bev = bev_coord[:, 0, :, :2]
             cur_rv = rv_coord[:, 0]
@@ -258,7 +259,7 @@ def bev_label_from_points(labels: jax.Array, bev_coord: jax.Array,
     (data_StreamMOS.py:284-290: VoxelMaxPool of the label values — 'moving'
     wins over 'static' wins over 'unlabeled'). In-graph; labels (B, N)."""
     lab = labels.astype(jnp.float32)[..., None]
-    grid = voxel_max_pool(lab, bev_coord, out_hw, scale)
+    grid = voxel_max_pool(lab, bev_coord, out_hw, scale, "auto", True)
     return grid[..., 0].astype(jnp.int32)
 
 

@@ -112,9 +112,13 @@ class MultiViewEncoder(nn.Module):
             return grid_to_point_tta(g, coords, scale, kind)
 
         def cascade_scatter(pts, coords, out_size, scale, kind):
+            # gathered features are bilinear blends of post-ReLU grids with
+            # zero padding -> non-negative: take the zero-fill scatter path
             if not self.tta_fold:
-                return voxel_max_pool(pts, coords, out_size, scale)
-            out = voxel_max_pool_tta(pts, coords, out_size, scale, kind)
+                return voxel_max_pool(pts, coords, out_size, scale,
+                                      "auto", True)
+            out = voxel_max_pool_tta(pts, coords, out_size, scale, kind,
+                                     nonneg=True)
             return out.reshape(B, *out.shape[2:])
 
         # ---- stage 0: full grid -> 1/2, asymmetric 7x3 block

@@ -46,7 +46,12 @@ TILE_CELLS = 1024
 CHUNK = 1024
 
 
-def _make_kernel(C: int, n_id_lanes: int, exact_f32: bool):
+def _make_kernel(C: int, n_id_lanes: int, exact_f32: bool,
+                 C_out: int | None = None):
+    """C_out: output lane count. When C is already 128-aligned the output
+    carries exactly C lanes (no id/pad lanes), halving output HBM traffic
+    and removing the post-kernel slice copy."""
+    C_out = C if C_out is None else C_out
     def kernel(starts_ref, packed_hbm, out_ref, vals, has, sem_f):
         t = pl.program_id(0)
         start = starts_ref[t]
@@ -119,7 +124,8 @@ def _make_kernel(C: int, n_id_lanes: int, exact_f32: bool):
             # bf16 are exact at default precision since one-hot factors are 0/1.
             precision = (lax.Precision.HIGHEST if exact_f32
                          else lax.Precision.DEFAULT)
-            placed = lax.dot_general(onehot, v, (((0,), (0,)), ((), ())),
+            placed = lax.dot_general(onehot, v[:, :C_out],
+                                     (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
                                      precision=precision)
             cover = lax.dot_general(onehot, jnp.ones((CHUNK, 1), jnp.float32),
@@ -161,6 +167,9 @@ def sorted_scatter_max(feats_sorted: jax.Array, ids_sorted: jax.Array,
     dtype = feats_sorted.dtype
     n_id = 1 if dtype == jnp.float32 else 3
     C_pad = max(128, -(-(C + n_id) // 128) * 128)
+    # 128-aligned feature width: the output carries only the C feature lanes
+    # (no id/pad lanes, no post-kernel slice copy)
+    C_out = C if C % 128 == 0 else C_pad
 
     starts = jnp.searchsorted(
         ids_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32) * TILE_CELLS
@@ -175,7 +184,7 @@ def sorted_scatter_max(feats_sorted: jax.Array, ids_sorted: jax.Array,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((TILE_CELLS, C_pad), lambda t, *_: (t, 0),
+        out_specs=pl.BlockSpec((TILE_CELLS, C_out), lambda t, *_: (t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK, C_pad), dtype),
@@ -184,13 +193,13 @@ def sorted_scatter_max(feats_sorted: jax.Array, ids_sorted: jax.Array,
         ],
     )
     out = pl.pallas_call(
-        _make_kernel(C, n_id, dtype == jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((n_cells, C_pad), dtype),
+        _make_kernel(C, n_id, dtype == jnp.float32, C_out),
+        out_shape=jax.ShapeDtypeStruct((n_cells, C_out), dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(starts, packed)
-    return out[:, :C]
+    return out if C_out == C else out[:, :C]
 
 
 def scatter_max_pallas(feat: jax.Array, flat_ids: jax.Array,

@@ -100,20 +100,39 @@ def _perm_ext(transform: str, size: int, shift: int = 0) -> np.ndarray:
     return np.where((t >= 0) & (t < size), t, size).astype(np.int32)
 
 
+def _orient_axis(grid: jax.Array, tr: str, axis: int) -> jax.Array:
+    """out[..., i, ...] = grid[..., T(i), ...] for the involution T of
+    `_cell_map`, built from reverse/roll primitives instead of a gather
+    (a `jnp.take` by these index maps lowers to a row-gather that costs
+    ~6x a plain reversal copy on the full 512^2 grid; `lax.rev` and the
+    slice+concat of `jnp.roll` run at stream speed)."""
+    size = grid.shape[axis]
+    if tr == "id":
+        return grid
+    if tr == "rev":
+        return jax.lax.rev(grid, (axis,))
+    if tr == "roll":
+        # T(i) = (i + size/2) % size  ->  out = grid rolled by -size/2 == +size/2
+        return jnp.roll(grid, size // 2, axis=axis)
+    if tr == "revroll":
+        # T(i) = (size/2 - 1 - i) % size = roll_{size/2}(rev)(i)
+        return jnp.roll(jax.lax.rev(grid, (axis,)), size // 2, axis=axis)
+    raise ValueError(tr)
+
+
 def orient_grid(grid: jax.Array, v: int, kind: str,
                 axes: Tuple[int, int]) -> jax.Array:
     """Map a canonical-cell dense grid to variant v's orientation (or back —
     the permutations are involutions). grid[..., T(c), ...] per axis."""
     for axis, tr in zip(axes, _transforms(kind)[v]):
-        if tr != "id":
-            grid = jnp.take(grid, _cell_map(tr, grid.shape[axis]), axis=axis)
+        grid = _orient_axis(grid, tr, axis)
     return grid
 
 
 def voxel_max_pool_tta(feat: jax.Array, coords0: jax.Array,
                        out_size: Tuple[int, int],
                        scale_rate: Tuple[float, float],
-                       kind: str) -> jax.Array:
+                       kind: str, nonneg: bool = False) -> jax.Array:
     """Scatter all V_TTA variants in ONE max-pool.
 
     feat:    (B, N, V, C) per-variant point features, variant on the MINOR
@@ -128,13 +147,41 @@ def voxel_max_pool_tta(feat: jax.Array, coords0: jax.Array,
     B, N, V, C = feat.shape
     assert V == V_TTA
     folded = feat.reshape(B, N, V * C)
-    grid = voxel_max_pool(folded, coords0[..., :2], out_size, scale_rate)
+    grid = voxel_max_pool(folded, coords0[..., :2], out_size, scale_rate,
+                          "auto", nonneg)
     H, W = out_size
     grid = grid.reshape(B, H, W, V, C)
     outs = []
     for v in range(V):
         outs.append(orient_grid(grid[..., v, :], v, kind, (1, 2)))
     return jnp.stack(outs)
+
+
+def _ext_table(grid: jax.Array, tr: str, axis: int) -> jax.Array:
+    """Extended tap table along `axis`: slot j holds the variant's value at
+    canonical ext position (j - 1) + s_tr (s = -1 for reversed transforms,
+    0 otherwise), with out-of-range slots zero — the same result as padding
+    with a zero row and gathering by `_perm_ext(tr, size, s_tr)`, but built
+    from reverse/roll/concat primitives that run at stream speed instead of
+    a full-grid row gather."""
+    size = grid.shape[axis]
+    zshape = list(grid.shape)
+    zshape[axis] = 1
+    zero = jnp.zeros(zshape, grid.dtype)
+    if tr == "id":
+        return jnp.concatenate([zero, grid, zero], axis=axis)
+    if tr == "rev":
+        return jnp.concatenate([zero, zero, jax.lax.rev(grid, (axis,))],
+                               axis=axis)
+    if tr == "roll":
+        r = jnp.roll(grid, 1 - size // 2, axis=axis)
+        head = jax.lax.slice_in_dim(r, 0, 2, axis=axis)
+        return jnp.concatenate([r, head], axis=axis)
+    if tr == "revroll":
+        r = jnp.roll(jax.lax.rev(grid, (axis,)), 2 - size // 2, axis=axis)
+        head = jax.lax.slice_in_dim(r, 0, 2, axis=axis)
+        return jnp.concatenate([r, head], axis=axis)
+    raise ValueError(tr)
 
 
 def _axis_weights(transform: str, size: int, p: jax.Array, dtype):
@@ -200,12 +247,18 @@ def grid_to_point_tta(grids: jax.Array, coords0: jax.Array,
 
     # ---- align every variant's grid back to canonical coordinates over the
     # extended tap window [-1, size] (zero slot for out-of-range), shifted by
-    # its per-axis tap base, then stack variants along channels.
+    # its per-axis tap base, then stack variants along channels. The tap base
+    # is determined by the transform (reversed axes tap at (-1, 0)), which
+    # `_ext_table` builds in; assert it matches the weights' offsets.
+    for v in range(V):
+        assert shifts[v] == ({"id": 0, "roll": 0, "rev": -1, "revroll": -1}
+                             [trs[v][0]],
+                             {"id": 0, "roll": 0, "rev": -1, "revroll": -1}
+                             [trs[v][1]]), (v, trs[v], shifts[v])
     aligned = []
     for v in range(V):
-        g = jnp.pad(grids[v], ((0, 0), (0, 1), (0, 1), (0, 0)))
-        g = jnp.take(g, _perm_ext(trs[v][0], H, shifts[v][0]), axis=1)
-        g = jnp.take(g, _perm_ext(trs[v][1], W, shifts[v][1]), axis=2)
+        g = _ext_table(grids[v], trs[v][0], axis=1)
+        g = _ext_table(g, trs[v][1], axis=2)
         aligned.append(g)
     gal = jnp.stack(aligned, axis=-2)  # (B, H+2, W+2, V, C)
 

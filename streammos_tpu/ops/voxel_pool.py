@@ -61,11 +61,12 @@ def _segment_max_2d(feat: jax.Array, flat: jax.Array, num_cells: int) -> jax.Arr
     return jnp.where(jnp.isfinite(out), out, jnp.zeros((), feat.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def voxel_max_pool(feat: jax.Array, inds: jax.Array,
                    out_size: Tuple[int, ...],
                    scale_rate: Tuple[float, ...],
-                   impl: str = "auto") -> jax.Array:
+                   impl: str = "auto",
+                   nonneg: bool = False) -> jax.Array:
     """Scatter-max N point features into a dense grid.
 
     Args:
@@ -75,12 +76,19 @@ def voxel_max_pool(feat: jax.Array, inds: jax.Array,
       scale_rate: multiplier applied to each index dim before truncation.
       impl: 'auto' (Pallas sorted kernel on TPU, XLA segment_max elsewhere),
         'xla', or 'pallas'.
+      nonneg: promise that ``feat >= 0`` everywhere (true for every in-model
+        call — point features are post-ReLU and labels are non-negative).
+        Enables the fast path: `lax.scatter_max` straight into a zero grid,
+        skipping segment_max's -inf init + isfinite select (2 extra passes
+        over the full grid; measured 1.9x slower on v5e, tools/bench_scatter).
+        Semantics are identical for non-negative input: empty cells 0,
+        occupied cells the true max.
 
     Returns:
       (B, *out_size, C) dense grid; cell value = max over points mapping to
       the cell, 0 for empty cells.
     """
-    out, _ = _fwd_impl(feat, inds, out_size, scale_rate, impl)
+    out, _ = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg)
     return out
 
 
@@ -97,23 +105,33 @@ def _use_pallas(impl: str, total_cells: int) -> bool:
     return False
 
 
-def _fwd_impl(feat, inds, out_size, scale_rate, impl):
+def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False):
     B, N, C = feat.shape
     num_cells = int(np.prod(out_size))
     flat, valid = _cell_ids(inds, out_size, scale_rate)
+    offsets = (jnp.arange(B, dtype=jnp.int32) * num_cells)[:, None]
+    flat_global = jnp.where(valid, flat + offsets, B * num_cells)
     if _use_pallas(impl, B * num_cells):
         from streammos_tpu.ops import pallas_scatter
 
-        offsets = (jnp.arange(B, dtype=jnp.int32) * num_cells)[:, None]
-        flat_global = jnp.where(valid, flat + offsets, B * num_cells)
         pooled = pallas_scatter.scatter_max_pallas(
             feat.reshape(-1, C), flat_global.reshape(-1), B * num_cells)
+        out = pooled.reshape((B,) + tuple(out_size) + (C,))
+    elif nonneg:
+        # feat >= 0: scatter-max straight into zeros — empty cells keep the
+        # 0 fill; no -inf sentinel pass, no isfinite select
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1,), inserted_window_dims=(0,),
+            scatter_dims_to_operand_dims=(0,))
+        pooled = jax.lax.scatter_max(
+            jnp.zeros((B * num_cells, C), feat.dtype),
+            flat_global.reshape(-1, 1), feat.reshape(-1, C), dnums,
+            indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
         out = pooled.reshape((B,) + tuple(out_size) + (C,))
     else:
         # one flat segment_max over all batches (the vmap'd form lowers to
         # the same scatter but the flat ids let XLA fuse the offset math)
-        offsets = (jnp.arange(B, dtype=jnp.int32) * num_cells)[:, None]
-        flat_global = jnp.where(valid, flat + offsets, B * num_cells)
         pooled = jax.ops.segment_max(feat.reshape(-1, C),
                                      flat_global.reshape(-1),
                                      num_segments=B * num_cells + 1,
@@ -125,12 +143,12 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl):
     return out, (feat, flat, valid, out)
 
 
-def _fwd(feat, inds, out_size, scale_rate, impl):
-    out, res = _fwd_impl(feat, inds, out_size, scale_rate, impl)
+def _fwd(feat, inds, out_size, scale_rate, impl, nonneg):
+    out, res = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg)
     return out, res
 
 
-def _bwd(out_size, scale_rate, impl, res, g):
+def _bwd(out_size, scale_rate, impl, nonneg, res, g):
     feat, flat, valid, out = res
     B, N, C = feat.shape
     num_cells = int(np.prod(out_size))

@@ -114,3 +114,27 @@ def test_full_model_fold_matches_exact_tta():
             # folded pred is (Bt, N, V, C); exact is (V(=B), N, C)
             b = np.moveaxis(b[0], -2, 0)
         np.testing.assert_allclose(a, b, atol=5e-3, rtol=5e-3, err_msg=k)
+
+
+def test_rev_roll_tables_match_gather_forms():
+    # the stream-speed reverse/roll formulations must equal the index-map
+    # gathers they replaced, for every transform and both parities of size
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from streammos_tpu.ops import tta_fold as tf
+
+    rng = np.random.default_rng(0)
+    for size in (6, 8, 16):
+        g = jnp.asarray(rng.normal(size=(2, size, 3)).astype(np.float32))
+        for tr in ("id", "rev", "roll", "revroll"):
+            want = jnp.take(g, tf._cell_map(tr, size), axis=1)
+            got = tf._orient_axis(g, tr, axis=1)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+            shift = -1 if tr in ("rev", "revroll") else 0
+            gp = jnp.pad(g, ((0, 0), (0, 1), (0, 0)))
+            want_ext = jnp.take(gp, tf._perm_ext(tr, size, shift), axis=1)
+            got_ext = tf._ext_table(g, tr, axis=1)
+            np.testing.assert_allclose(np.asarray(got_ext),
+                                       np.asarray(want_ext))

@@ -90,3 +90,33 @@ def test_jit_and_grad_compile():
     g = gfn(jnp.asarray(feat), jnp.asarray(inds))
     assert np.isfinite(float(v1))
     assert g.shape == feat.shape
+
+
+def test_nonneg_fast_path_matches_default():
+    # non-negative features: the zero-fill scatter path must agree with the
+    # segment_max path and the numpy reference, forward and backward
+    rng = np.random.default_rng(7)
+    feat = np.abs(rng.normal(size=(2, 400, 5))).astype(np.float32)
+    inds = rng.uniform(-2.0, 10.0, size=(2, 400, 2)).astype(np.float32)
+    f, i = jnp.asarray(feat), jnp.asarray(inds)
+    out_fast = np.asarray(voxel_max_pool(f, i, (8, 8), (1.0, 1.0), "auto", True))
+    out_ref = voxel_max_pool_ref(feat, inds, (8, 8), (1.0, 1.0))
+    np.testing.assert_allclose(out_fast, out_ref, rtol=1e-6)
+
+    def loss_fast(x):
+        return (voxel_max_pool(x, i, (8, 8), (1.0, 1.0), "auto", True) ** 2).sum()
+
+    def loss_def(x):
+        return (voxel_max_pool(x, i, (8, 8), (1.0, 1.0)) ** 2).sum()
+
+    g_fast = np.asarray(jax.jit(jax.grad(loss_fast))(f))
+    g_def = np.asarray(jax.jit(jax.grad(loss_def))(f))
+    np.testing.assert_allclose(g_fast, g_def, rtol=1e-6)
+
+
+def test_nonneg_all_out_of_range():
+    feat = np.ones((1, 8, 3), dtype=np.float32)
+    inds = np.full((1, 8, 2), -5.0, dtype=np.float32)
+    out = np.asarray(voxel_max_pool(jnp.asarray(feat), jnp.asarray(inds),
+                                    (4, 4), (1.0, 1.0), "auto", True))
+    assert (out == 0).all()
