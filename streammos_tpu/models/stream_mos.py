@@ -155,7 +155,10 @@ class StreamMOSNet(nn.Module):
         # in the (B, T, H, W, c0) frame-split layout — the encoder header's
         # DownSample2D consumes it as per-frame kernel-slice convs summed,
         # which equals the conv over the T*c0 channel concat without ever
-        # materializing the transpose.
+        # materializing the transpose. (A space-to-depth variant of this
+        # boundary exists — phase_split scatter + DownSample2D phase path —
+        # but measured SLOWER end-to-end on v5e despite winning in isolation:
+        # docs/DESIGN.md "phase-split postmortem".)
         if self.tta_fold:
             coords0 = bev_coord[..., 0, :].reshape(Bt * T, N, 3)
             # point features are post-ReLU -> zero-fill scatter fast path

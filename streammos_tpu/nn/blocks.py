@@ -79,7 +79,8 @@ class DownSample2D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         x = x.astype(self.dtype)
-        split = x.ndim == 5
+        split = x.ndim >= 5
+        phase = x.ndim == 6  # (B, T, H/2, W/2, 4, C) space-to-depth layout
         T = x.shape[1] if split else 1
         c_in = T * x.shape[-1]
         k3 = self.param("conv3_kernel", nn.initializers.lecun_normal(),
@@ -87,6 +88,8 @@ class DownSample2D(nn.Module):
         k1 = self.param("conv1_kernel", nn.initializers.lecun_normal(),
                         (1, 1, c_in, self.out_planes), jnp.float32)
         dn = ("NHWC", "HWIO", "NHWC")
+        if phase:
+            return self._phase_forward(x, k3, k1, train)
 
         def apply(kernel, strides, padding):
             kernel = kernel.astype(self.dtype)
@@ -109,6 +112,92 @@ class DownSample2D(nn.Module):
         pool_b = BN(self.dtype)(pool_b, train)
         pool_b = nn.max_pool(pool_b, (3, 3), strides=(self.stride, self.stride),
                              padding=((1, 1), (1, 1)))
+        return nn.relu(conv_b + pool_b)
+
+    def _phase_forward(self, x, k3, k1, train: bool):
+        """Stride-2 DownSample2D on a space-to-depth input
+        (B, T, H/2, W/2, 4, C), phase index 2*(x&1)+(y&1) — the layout the
+        BEV scatter emits directly (`voxel_max_pool(phase_split=True)`).
+
+        The 3x3/s2 conv over the full grid is computed as ONE 2x2 conv per
+        frame over the P*C phase-merged channels: output pixel i reads
+        full-res rows 2i-1+ki, which in halved space is position i-1 (window
+        slot 0) for tap ki=0, and position i (slot 1) for ki in {1, 2} —
+        phase-0 channels use slot 1 only (their slot-0 weights are zero).
+        This keeps every dense op at half resolution with NO per-phase
+        slicing of the big tensor (a sliced-phase formulation re-introduced
+        ~10 ms of strided-slice copies at production shapes). The 4/9 unused
+        kernel entries cost 1.78x FLOPs on a conv that is memory-bound
+        anyway. The maxpool window decomposes the same way per phase over
+        the (cheap, 32-channel) pre-pool maps."""
+        assert self.stride == 2, "phase layout implies a stride-2 downsample"
+        dn = ("NHWC", "HWIO", "NHWC")
+        B, T, Hh, Wh, P, cs = x.shape
+        out = self.out_planes
+        k3 = k3.astype(self.dtype)
+        k1 = k1.astype(self.dtype)
+
+        # phase-merged 2x2 kernel: K[di, dj, p*cs + c, o] = k3[ki, kj, c', o]
+        # where for phase bit b: slot 0 is valid only when b == 1 (full-res
+        # tap ki=0), slot 1 maps to ki = 1 + b (phase 0 -> center tap ki=1,
+        # phase 1 -> tap ki=2).
+        def tap(di, b):
+            # returns k3 spatial index or None (zero block)
+            if di == 0:
+                return 0 if b == 1 else None
+            return 1 + b
+
+        conv_b = None
+        for t in range(T):
+            kt = k3[:, :, t * cs:(t + 1) * cs]  # (3, 3, cs, out)
+            blocks = []
+            for di in range(2):
+                row = []
+                for dj in range(2):
+                    phases = []
+                    for p in range(P):
+                        bi, bj = p >> 1, p & 1
+                        ki, kj = tap(di, bi), tap(dj, bj)
+                        if ki is None or kj is None:
+                            phases.append(jnp.zeros((cs, out), self.dtype))
+                        else:
+                            phases.append(kt[ki, kj])
+                    row.append(jnp.concatenate(phases, axis=0))  # (P*cs, out)
+                blocks.append(jnp.stack(row))  # (2, P*cs, out)
+            K = jnp.stack(blocks)  # (2, 2, P*cs, out)
+            xt = x[:, t].reshape(B, Hh, Wh, P * cs)
+            y = jax.lax.conv_general_dilated(xt, K, (1, 1), ((1, 0), (1, 0)),
+                                             dimension_numbers=dn)
+            conv_b = y if conv_b is None else conv_b + y
+        conv_b = BN(self.dtype)(conv_b, train)
+
+        # pool branch: per-phase 1x1 conv via a P-grouped conv (k1 replicated
+        # across groups), frame kernel slices summed
+        zs = None
+        for t in range(T):
+            k1t = k1[:, :, t * cs:(t + 1) * cs]  # (1, 1, cs, out)
+            k1g = jnp.concatenate([k1t] * P, axis=-1)  # (1, 1, cs, P*out)
+            xt = x[:, t].reshape(B, Hh, Wh, P * cs)
+            z = jax.lax.conv_general_dilated(xt, k1g, (1, 1),
+                                             ((0, 0), (0, 0)),
+                                             dimension_numbers=dn,
+                                             feature_group_count=P)
+            zs = z if zs is None else zs + z
+        # ONE BatchNorm over the per-output-channel statistics of all phases
+        # (reshape puts phase on a spatial-like axis; same element set as the
+        # full-resolution map, so identical statistics)
+        zs = BN(self.dtype)(zs.reshape(B, Hh, Wh * P, out), train)
+        zs = zs.reshape(B, Hh, Wh, P, out)
+
+        pool_b = None
+        for p in range(P):
+            bi, bj = p >> 1, p & 1
+            win = (1, 2 if bi else 1, 2 if bj else 1, 1)
+            pad = ((0, 0), (1, 0) if bi else (0, 0),
+                   (1, 0) if bj else (0, 0), (0, 0))
+            m = jax.lax.reduce_window(zs[..., p, :], -jnp.inf, jax.lax.max,
+                                      win, (1, 1, 1, 1), pad)
+            pool_b = m if pool_b is None else jnp.maximum(pool_b, m)
         return nn.relu(conv_b + pool_b)
 
 

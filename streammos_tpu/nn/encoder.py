@@ -70,7 +70,9 @@ class MultiViewEncoder(nn.Module):
       bev_in:     (B, T, H, W, C0) multi-frame BEV features in the
                   frame-split layout (H, W = full grid); the header's
                   DownSample2D consumes it as the T*C0 channel concat
-                  without materializing the transpose
+                  without materializing the transpose. (Also accepts the
+                  space-to-depth (B, T, H/2, W/2, 4, C0) phase layout —
+                  kept opt-in; slower end-to-end on v5e, docs/DESIGN.md)
       bev_coord:  (B, N, 2) current-frame fractional BEV coords
       rv_coord:   (B, N, 2) current-frame fractional RV coords
       memory:     (B, Hq, Wq, D) previous fused map (short-term memory)

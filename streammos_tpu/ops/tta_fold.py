@@ -129,10 +129,33 @@ def orient_grid(grid: jax.Array, v: int, kind: str,
     return grid
 
 
+def orient_grid_phase(grid: jax.Array, v: int, axes: Tuple[int, int],
+                      phase_axis: int) -> jax.Array:
+    """`orient_grid` for a BEV grid in space-to-depth (phase-split) layout
+    (B, H/2, W/2, 4, ...), phase index 2*(x&1)+(y&1).
+
+    An axis reversal at full resolution, x' = X-1-x with x = 2h+p, is
+    h' = H/2-1-h and p' = 1-p: a reversal of the HALVED axis plus a swap of
+    the phase bit — exact for every cell (X even), so orientation never
+    needs the full-resolution layout."""
+    trs = _BEV_TRANSFORMS[v]
+    pperm = np.arange(4)
+    for axis, tr, bit in zip(axes, trs, (2, 1)):
+        if tr == "id":
+            continue
+        assert tr == "rev", tr  # BEV variants are pure sign flips
+        grid = jax.lax.rev(grid, (axis,))
+        pperm = pperm ^ bit
+    if (pperm != np.arange(4)).any():
+        grid = jnp.take(grid, jnp.asarray(pperm), axis=phase_axis)
+    return grid
+
+
 def voxel_max_pool_tta(feat: jax.Array, coords0: jax.Array,
                        out_size: Tuple[int, int],
                        scale_rate: Tuple[float, float],
-                       kind: str, nonneg: bool = False) -> jax.Array:
+                       kind: str, nonneg: bool = False,
+                       phase_split: bool = False) -> jax.Array:
     """Scatter all V_TTA variants in ONE max-pool.
 
     feat:    (B, N, V, C) per-variant point features, variant on the MINOR
@@ -148,8 +171,14 @@ def voxel_max_pool_tta(feat: jax.Array, coords0: jax.Array,
     assert V == V_TTA
     folded = feat.reshape(B, N, V * C)
     grid = voxel_max_pool(folded, coords0[..., :2], out_size, scale_rate,
-                          "auto", nonneg)
+                          "auto", nonneg, phase_split)
     H, W = out_size
+    if phase_split:
+        # (V, B, H/2, W/2, 4, C), each variant oriented in phase space
+        assert kind == "bev", kind
+        grid = grid.reshape(B, H // 2, W // 2, 4, V, C)
+        return jnp.stack([orient_grid_phase(grid[..., v, :], v, (1, 2), 3)
+                          for v in range(V)])
     grid = grid.reshape(B, H, W, V, C)
     outs = []
     for v in range(V):

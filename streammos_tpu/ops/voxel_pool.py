@@ -31,24 +31,41 @@ import numpy as np
 
 
 def _cell_ids(inds: jax.Array, out_size: Sequence[int],
-              scale_rate: Sequence[float]) -> Tuple[jax.Array, jax.Array]:
+              scale_rate: Sequence[float],
+              phase_split: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Flattened cell id per point plus validity mask.
 
     inds: (..., N, D) float fractional grid coordinates.
     Returns (flat_id (..., N) int32 with invalid -> num_cells, valid (..., N)).
+
+    phase_split (D == 2 only): linearize as
+    ``((cx>>1)*(W/2) + (cy>>1))*4 + (cx&1)*2 + (cy&1)`` so the dense output
+    reshapes to (H/2, W/2, 4, C) — the space-to-depth layout that lets the
+    header's stride-2 convs run at half resolution without any dense
+    rearrangement of the full grid (tools/bench_header.py: the same conv is
+    1.7x faster in phase form, and all 512^2-layout copies disappear).
     """
     D = len(out_size)
     num_cells = int(np.prod(out_size))
-    flat = jnp.zeros(inds.shape[:-1], dtype=jnp.int32)
+    cells = []
     valid = jnp.ones(inds.shape[:-1], dtype=bool)
-    stride = num_cells
     for d in range(D):
-        stride //= int(out_size[d])
         # truncation toward zero, matching the CUDA int64(float * scale) cast
         cell = (inds[..., d].astype(jnp.float32) * np.float32(scale_rate[d])
                 ).astype(jnp.int32)
         valid &= (cell >= 0) & (cell < out_size[d])
-        flat += cell * stride
+        cells.append(cell)
+    if phase_split:
+        assert D == 2 and out_size[0] % 2 == 0 and out_size[1] % 2 == 0
+        cx, cy = cells
+        flat = (((cx >> 1) * (out_size[1] // 2) + (cy >> 1)) * 4
+                + (cx & 1) * 2 + (cy & 1))
+    else:
+        flat = jnp.zeros(inds.shape[:-1], dtype=jnp.int32)
+        stride = num_cells
+        for d in range(D):
+            stride //= int(out_size[d])
+            flat += cells[d] * stride
     flat = jnp.where(valid, flat, num_cells)
     return flat, valid
 
@@ -61,12 +78,13 @@ def _segment_max_2d(feat: jax.Array, flat: jax.Array, num_cells: int) -> jax.Arr
     return jnp.where(jnp.isfinite(out), out, jnp.zeros((), feat.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def voxel_max_pool(feat: jax.Array, inds: jax.Array,
                    out_size: Tuple[int, ...],
                    scale_rate: Tuple[float, ...],
                    impl: str = "auto",
-                   nonneg: bool = False) -> jax.Array:
+                   nonneg: bool = False,
+                   phase_split: bool = False) -> jax.Array:
     """Scatter-max N point features into a dense grid.
 
     Args:
@@ -86,9 +104,12 @@ def voxel_max_pool(feat: jax.Array, inds: jax.Array,
 
     Returns:
       (B, *out_size, C) dense grid; cell value = max over points mapping to
-      the cell, 0 for empty cells.
+      the cell, 0 for empty cells. With ``phase_split`` the same cells in
+      space-to-depth layout: (B, H/2, W/2, 4, C), phase index = 2*(x&1)+(y&1)
+      (see `_cell_ids`).
     """
-    out, _ = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg)
+    out, _ = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg,
+                       phase_split)
     return out
 
 
@@ -105,10 +126,16 @@ def _use_pallas(impl: str, total_cells: int) -> bool:
     return False
 
 
-def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False):
+def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
+              phase_split=False):
     B, N, C = feat.shape
     num_cells = int(np.prod(out_size))
-    flat, valid = _cell_ids(inds, out_size, scale_rate)
+    flat, valid = _cell_ids(inds, out_size, scale_rate, phase_split)
+    if phase_split:
+        H, W = out_size
+        grid_shape = (H // 2, W // 2, 4)
+    else:
+        grid_shape = tuple(out_size)
     offsets = (jnp.arange(B, dtype=jnp.int32) * num_cells)[:, None]
     flat_global = jnp.where(valid, flat + offsets, B * num_cells)
     if _use_pallas(impl, B * num_cells):
@@ -116,7 +143,7 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False):
 
         pooled = pallas_scatter.scatter_max_pallas(
             feat.reshape(-1, C), flat_global.reshape(-1), B * num_cells)
-        out = pooled.reshape((B,) + tuple(out_size) + (C,))
+        out = pooled.reshape((B,) + grid_shape + (C,))
     elif nonneg:
         # feat >= 0: scatter-max straight into zeros — empty cells keep the
         # 0 fill; no -inf sentinel pass, no isfinite select
@@ -128,7 +155,7 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False):
             flat_global.reshape(-1, 1), feat.reshape(-1, C), dnums,
             indices_are_sorted=False, unique_indices=False,
             mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
-        out = pooled.reshape((B,) + tuple(out_size) + (C,))
+        out = pooled.reshape((B,) + grid_shape + (C,))
     else:
         # one flat segment_max over all batches (the vmap'd form lowers to
         # the same scatter but the flat ids let XLA fuse the offset math)
@@ -139,16 +166,17 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False):
                                      unique_indices=False)[:-1]
         pooled = jnp.where(jnp.isfinite(pooled), pooled,
                            jnp.zeros((), feat.dtype))
-        out = pooled.reshape((B,) + tuple(out_size) + (C,))
+        out = pooled.reshape((B,) + grid_shape + (C,))
     return out, (feat, flat, valid, out)
 
 
-def _fwd(feat, inds, out_size, scale_rate, impl, nonneg):
-    out, res = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg)
+def _fwd(feat, inds, out_size, scale_rate, impl, nonneg, phase_split):
+    out, res = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg,
+                         phase_split)
     return out, res
 
 
-def _bwd(out_size, scale_rate, impl, nonneg, res, g):
+def _bwd(out_size, scale_rate, impl, nonneg, phase_split, res, g):
     feat, flat, valid, out = res
     B, N, C = feat.shape
     num_cells = int(np.prod(out_size))

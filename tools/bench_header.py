@@ -54,21 +54,23 @@ def main():
                      ).astype(dt) * 0.05
     dn = ("NHWC", "HWIO", "NHWC")
 
-    def timeit(name, fn, init, K=3, reps=2):
+    def timeit(name, fn, init, data, K=3, reps=2):
+        # data rides as an argument: a closed-over array is baked into the
+        # compile payload, which the tunnel caps (~HTTP 413 at 400 MB)
         if not want(name):
             return
 
         @jax.jit
-        def chained(c):
+        def chained(c, d):
             for _ in range(K):
-                c = fn(c)
+                c = fn(c, d)
             return c.sum()
 
-        float(chained(init))
+        float(chained(init, data))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chained(init))
+            float(chained(init, data))
             ts.append(time.perf_counter() - t0)
         t = (np.median(ts) - rtt) / K
         print(f"{name:42s} {t*1e3:8.2f} ms", flush=True)
@@ -78,7 +80,7 @@ def main():
                                  (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     # ---- current production form: frame-split convs at 512^2
-    def split_fn(c):
+    def split_fn(c, x):
         xs = x + c.astype(dt) * 0
         conv_b = None
         pool_b = None
@@ -93,13 +95,14 @@ def main():
             pool_b = y1 if pool_b is None else pool_b + y1
         out = jnp.maximum(conv_b + maxpool3s2(pool_b), 0)
         return c + out.mean().astype(jnp.float32) * 0 + 1
-    timeit("split: per-frame convs @512^2", split_fn, jnp.zeros((), jnp.float32))
+    timeit("split: per-frame convs @512^2", split_fn,
+           jnp.zeros((), jnp.float32), x)
 
     # ---- plain channel concat at 512^2
     xc = jnp.asarray(rng.normal(size=(B, H, W, T * C0)).astype(np.float32)
                      ).astype(dt)
 
-    def concat_fn(c):
+    def concat_fn(c, xc):
         xs = xc + c.astype(dt) * 0
         conv_b = lax.conv_general_dilated(xs, k3, (2, 2), ((1, 1), (1, 1)),
                                           dimension_numbers=dn)
@@ -107,13 +110,14 @@ def main():
                                           dimension_numbers=dn)
         out = jnp.maximum(conv_b + maxpool3s2(pool_b), 0)
         return c + out.mean().astype(jnp.float32) * 0 + 1
-    timeit("concat: one conv @512^2", concat_fn, jnp.zeros((), jnp.float32))
+    timeit("concat: one conv @512^2", concat_fn,
+           jnp.zeros((), jnp.float32), xc)
 
     # ---- phase-split at 256^2: xp[(pi,pj)] = x512[2i+pi, 2j+pj]
     xp = jnp.asarray(rng.normal(size=(B, H // 2, W // 2, 4, T * C0)
                                 ).astype(np.float32)).astype(dt)
 
-    def phase_fn(c):
+    def phase_fn(c, xp):
         xs = xp + c.astype(dt) * 0
         x00, x01, x10, x11 = (xs[..., 0, :], xs[..., 1, :],
                               xs[..., 2, :], xs[..., 3, :])
@@ -151,7 +155,8 @@ def main():
             jnp.maximum(pool(zs[2], 1, 0), pool(zs[3], 1, 1)))
         out = jnp.maximum(conv_b + pool_b, 0)
         return c + out.mean().astype(jnp.float32) * 0 + 1
-    timeit("phase: 4 convs @256^2", phase_fn, jnp.zeros((), jnp.float32))
+    timeit("phase: 4 convs @256^2", phase_fn,
+           jnp.zeros((), jnp.float32), xp)
 
     # numeric check: phase == concat on the same data
     if want("check"):
@@ -188,3 +193,91 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def main_dot():
+    """Tap-matmul formulations: express the 3x3/s2 conv as 9 shifted
+    dot_generals (strided slices feed the MXU directly, bypassing XLA's
+    conv spatial-retiling)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    trivial = jax.jit(lambda x: x.sum())
+    z = jnp.zeros((8, 8))
+    float(trivial(z))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter(); float(trivial(z))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(f"tunnel rtt: {rtt*1e3:.1f} ms", flush=True)
+
+    B, T, H, W, C0, CO = 4, 3, 512, 512, 64, 32
+    CI = T * C0
+    dt = jnp.bfloat16
+    k3 = jnp.asarray(rng.normal(size=(3, 3, CI, CO)).astype(np.float32)
+                     ).astype(dt) * 0.05
+    k1 = jnp.asarray(rng.normal(size=(1, 1, CI, CO)).astype(np.float32)
+                     ).astype(dt) * 0.05
+    xc = jnp.asarray(rng.normal(size=(B, H, W, CI)).astype(np.float32)
+                     ).astype(dt)
+
+    def timeit(name, fn, init, data, K=3, reps=2):
+        @jax.jit
+        def chained(c, d):
+            for _ in range(K):
+                c = fn(c, d)
+            return c.sum()
+        float(chained(init, data))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); float(chained(init, data))
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:42s} {(np.median(ts)-rtt)/K*1e3:8.2f} ms", flush=True)
+
+    def maxpool3s2(v):
+        return lax.reduce_window(v, -jnp.inf, lax.max, (1, 3, 3, 1),
+                                 (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    def dotconv(c, xc):
+        xs = xc + c.astype(dt) * 0
+        xpad = jnp.pad(xs, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = None
+        for ki in range(3):
+            for kj in range(3):
+                tap = lax.slice(xpad, (0, ki, kj, 0),
+                                (B, ki + H, kj + W, CI), (1, 2, 2, 1))
+                y = jnp.einsum("bhwc,co->bhwo", tap, k3[ki, kj],
+                               preferred_element_type=jnp.float32)
+                out = y if out is None else out + y
+        z1 = jnp.einsum("bhwc,co->bhwo", xs, k1[0, 0],
+                        preferred_element_type=jnp.float32).astype(dt)
+        out = jnp.maximum(out.astype(dt) + maxpool3s2(z1), 0)
+        return c + out.mean().astype(jnp.float32) * 0 + 1
+    timeit("dotconv: 9 strided-tap matmuls @512^2", dotconv,
+           jnp.zeros((), jnp.float32), xc)
+
+    # correctness vs lax conv
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    @jax.jit
+    def check(xc):
+        a = lax.conv_general_dilated(xc, k3, (2, 2), ((1, 1), (1, 1)),
+                                     dimension_numbers=dn)
+        xpad = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        b = None
+        for ki in range(3):
+            for kj in range(3):
+                tap = lax.slice(xpad, (0, ki, kj, 0),
+                                (B, ki + H, kj + W, CI), (1, 2, 2, 1))
+                y = jnp.einsum("bhwc,co->bhwo", tap, k3[ki, kj],
+                               preferred_element_type=jnp.float32)
+                b = y if b is None else b + y
+        return jnp.abs(a.astype(jnp.float32) - b).max()
+    print("dotconv-vs-conv max diff:", float(check(xc)), flush=True)
+
+
+if __name__ == "__main__" and "dot" in sys.argv:
+    main_dot()
