@@ -137,6 +137,11 @@ class TrainDataset:
     def __len__(self):
         return len(self.samples)
 
+    def reseed(self, seed: int) -> None:
+        """Give this copy its own augmentation stream (used by the
+        `SampleWorkerPool` fork-worker initializer)."""
+        self.rng = np.random.default_rng(seed)
+
     def _form_seq(self, metas: List[FrameMeta]):
         scans, labels, bf_labels, roads, raw_sems = [], [], [], [], []
         for meta in metas:
@@ -269,7 +274,13 @@ class EvalDataset:
                                                cfg.voxel.range_z)
                 kept = pc[mask]
                 n_valid = kept.shape[0]
-                assert n_valid <= N,                     f"frame_point_num {N} < {n_valid} valid points"
+                if n_valid > N:
+                    raise ValueError(
+                        f"{meta.pcd_path}: {n_valid} in-range points exceed "
+                        f"frame_point_num={N}; raise "
+                        f"DatasetConfig.frame_point_num (CLI: --points). The "
+                        f"reference pads to 160k under the same assumption "
+                        f"(data_StreamMOS.py:565-574).")
                 # sentinel padding outside every grid (data_StreamMOS.py:565-574)
                 frame = np.full((N, 4), -1000.0, np.float32)
                 frame[:n_valid] = kept

@@ -41,17 +41,27 @@ def _run(cmd, cwd):
 def test_train_then_eval_then_vote(workdir):
     data = str(workdir / "sequences")
 
-    # --- train 1 epoch of stage 1 on the tiny config
+    # --- train 1 epoch of stage 1 on the tiny config, with in-train
+    # validation after the epoch (train_StreamMOS.py:199-200 parity)
     _run([sys.executable, os.path.join(REPO, "tools", "train.py"),
           "--config", "StreamMOS_tiny", "--tag", "e2e", "--data", data,
-          "--epochs", "1", "--points", "4096"], cwd=str(workdir))
-    ckpt_dir = workdir / "experiments" / "StreamMOS_tiny" / "e2e" / "checkpoint"
+          "--epochs", "1", "--points", "4096", "--start-val-epoch", "0"],
+         cwd=str(workdir))
+    exp = workdir / "experiments" / "StreamMOS_tiny" / "e2e"
+    ckpt_dir = exp / "checkpoint"
     assert (ckpt_dir / "0000").exists()
-    scalars = (workdir / "experiments" / "StreamMOS_tiny" / "e2e" /
-               "scalars.jsonl").read_text().strip().splitlines()
-    losses = [json.loads(l)["value"] for l in scalars
+    scalars = exp / "scalars.jsonl"
+    losses = [json.loads(l)["value"]
+              for l in scalars.read_text().strip().splitlines()
               if json.loads(l)["tag"] == "loss"]
     assert losses and all(np.isfinite(losses))
+    # in-train validation produced a metric line + val scalars
+    assert "moving_iou" in (exp / "record_0.txt").read_text()
+    assert any(json.loads(l)["tag"].startswith("val/")
+               for l in scalars.read_text().strip().splitlines())
+    # the auto-generated drop-list artifact exists and has the right format
+    drop = (exp / "train_split_dynamic_pointnumber.txt").read_text().split()
+    assert len(drop) % 3 == 0 and len(drop) > 0
 
     # --- streaming eval writes .label files + record
     _run([sys.executable, os.path.join(REPO, "tools", "val.py"),

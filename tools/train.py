@@ -35,7 +35,14 @@ def main():
     ap.add_argument("--ckpt-epoch", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--drop-list", default=None,
-                    help="train_split_dynamic_pointnumber.txt path")
+                    help="train_split_dynamic_pointnumber.txt path "
+                         "(auto-generated from the labels when omitted and "
+                         "the config enables drop_few_static_frames)")
+    ap.add_argument("--start-val-epoch", type=int, default=1,
+                    help="run seq-08 validation at the end of every epoch "
+                         ">= this (reference train_StreamMOS.py:199-208)")
+    ap.add_argument("--no-val", action="store_true",
+                    help="disable in-train validation")
     ap.add_argument("--points", type=int, default=None,
                     help="override frame_point_num")
     ap.add_argument("--coordinator", default=None)
@@ -49,16 +56,18 @@ def main():
     backend = os.environ.get("STREAMMOS_BACKEND")
     if backend:
         jax.config.update("jax_platforms", backend)
-    import jax.numpy as jnp
     from streammos_tpu import parallel
     from streammos_tpu.config import get_config
     from streammos_tpu.data.copy_paste import SequenceCutPaste
-    from streammos_tpu.data.dataset import TrainDataset
-    from streammos_tpu.data.loader import PrefetchLoader
+    from streammos_tpu.data.dataset import EvalDataset, TrainDataset
+    from streammos_tpu.data.droplist import write_drop_list
+    from streammos_tpu.data.loader import PrefetchLoader, SampleWorkerPool
     from streammos_tpu.models import init_model
+    from streammos_tpu.models.stream_mos import StreamMOSNet
     from streammos_tpu.train import (build_optimizer, create_train_state,
                                      make_train_step)
     from streammos_tpu.train import checkpoint as ckpt_lib
+    from streammos_tpu.train.evaluate import record_metrics, stream_eval
     from streammos_tpu.utils.logging import ScalarWriter, config_logger
 
     parallel.initialize_distributed(args.coordinator, args.num_processes,
@@ -67,11 +76,13 @@ def main():
     cfg = get_config(args.config)
     if args.data:
         cfg = dataclasses.replace(
-            cfg, train=dataclasses.replace(cfg.train, seq_dir=args.data))
+            cfg, train=dataclasses.replace(cfg.train, seq_dir=args.data),
+            val=dataclasses.replace(cfg.val, seq_dir=args.data))
     if args.points:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train,
-                                           frame_point_num=args.points))
+                                           frame_point_num=args.points),
+            val=dataclasses.replace(cfg.val, frame_point_num=args.points))
     if args.epochs:
         cfg = dataclasses.replace(
             cfg, optimize=dataclasses.replace(cfg.optimize,
@@ -95,11 +106,35 @@ def main():
                             cfg.train.copy_paste.obj_bank_dir)
         if os.path.isdir(bank):
             cp = SequenceCutPaste(bank, cfg.train.copy_paste.paste_max_obj_num)
-    ds = TrainDataset(cfg.train, copy_paste=cp, drop_list_path=args.drop_list,
+    drop_list = args.drop_list
+    if drop_list is None and cfg.train.drop_few_static_frames:
+        # regenerate the reference's shipped whitelist artifact
+        # (config/train_split_dynamic_pointnumber.txt, consumed at
+        # data_StreamMOS.py:239-282) directly from the labels
+        drop_list = os.path.join(save_path,
+                                 "train_split_dynamic_pointnumber.txt")
+        if not os.path.exists(drop_list):
+            # deterministic from the labels, so every host generates the
+            # same list (atomic write; no cross-host sync needed)
+            n_kept, n_total = write_drop_list(cfg.train.seq_dir, drop_list)
+            logger.info("drop list: kept %d/%d frames -> %s", n_kept, n_total,
+                        drop_list)
+    ds = TrainDataset(cfg.train, copy_paste=cp, drop_list_path=drop_list,
                       seed=cfg.seed + jax.process_index())
     if len(ds) == 0:
         raise SystemExit(f"no training samples under {cfg.train.seq_dir}")
-    per_epoch_iters = max(len(ds) // global_bs, 1)
+    # every process sees ceil(len/global_bs) iterations: process_shard_indices
+    # pads the shuffled order to a multiple of the global batch
+    per_epoch_iters = max(-(-len(ds) // global_bs), 1)
+
+    val_ds = None
+    if not args.no_val and jax.process_index() == 0:
+        val_ds = EvalDataset(cfg.val, split="valid", with_labels=True)
+        if len(val_ds) == 0:
+            logger.warning("no seq-08 frames under %s — in-train validation "
+                           "disabled", cfg.val.seq_dir)
+            val_ds = None
+    eval_model = StreamMOSNet(cfg.model, with_refine=stage2, tta_fold=True)
 
     # model + optimizer
     model, variables = init_model(jax.random.key(cfg.seed), cfg.model,
@@ -135,20 +170,20 @@ def main():
                    jax.tree_util.tree_leaves(state.params))
     logger.info("Total Parameters: %.2fM", n_params / 1e6)
 
-    rng = np.random.default_rng(cfg.seed)
     key = jax.random.key(cfg.seed + 1)
+    # multi-process sample assembly (torch DataLoader workers parity,
+    # train_StreamMOS.py:143-150); copy-paste + window filtering is the
+    # host bottleneck at batch >= 2 otherwise
+    pool = SampleWorkerPool(ds, cfg.train.num_workers,
+                            seed=cfg.seed + 7919 * jax.process_index())
     for epoch in range(start_epoch, cfg.optimize.end_epoch):
         order = parallel.process_shard_indices(
             len(ds), np.random.default_rng(cfg.seed + epoch), global_bs)
         local_bs = global_bs // jax.process_count()
         t_epoch = time.time()
 
-        def batches():
-            for i in range(0, len(order) - local_bs + 1, local_bs):
-                samples = [ds[int(j)] for j in order[i:i + local_bs]]
-                yield TrainDataset.collate(samples)
-
-        loader = PrefetchLoader(batches(), depth=2)
+        loader = PrefetchLoader(
+            pool.batches(order, local_bs, TrainDataset.collate), depth=2)
         for it, local in enumerate(loader):
             windows = parallel.host_local_to_global(
                 mesh, {k: v for k, v in local.items()}, axis=1)
@@ -165,7 +200,17 @@ def main():
         if jax.process_index() == 0:
             host_state = jax.device_get(state)
             ckpt_lib.save(ckpt_dir, epoch, host_state)
+            # in-train per-epoch validation (train_StreamMOS.py:199-200)
+            if val_ds is not None and epoch >= args.start_val_epoch:
+                result = stream_eval(
+                    cfg, cfg.val, eval_model,
+                    {"params": host_state.params,
+                     "batch_stats": host_state.batch_stats},
+                    with_refine=stage2, with_labels=True, logger=logger,
+                    dataset=val_ds)
+                record_metrics(result, epoch, save_path, logger, writer)
         logger.info("epoch %d done in %.1fs", epoch, time.time() - t_epoch)
+    pool.close()
 
 
 if __name__ == "__main__":
