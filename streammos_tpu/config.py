@@ -88,6 +88,10 @@ class ModelConfig:
     # numeric policy: compute dtype for conv/matmul heavy stages
     # (production runs bfloat16; parameters and BN/LN statistics stay fp32)
     compute_dtype: str = "bfloat16"
+    # eval-only fused Pallas TTA header (ops/fused_header.py): the scatter
+    # emits the phase-split layout and one kernel per TTA variant runs the
+    # whole header DownSample2D without materializing the 512^2 grid
+    fused_header: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

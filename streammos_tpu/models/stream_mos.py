@@ -161,13 +161,25 @@ class StreamMOSNet(nn.Module):
         # docs/DESIGN.md "phase-split postmortem".)
         if self.tta_fold:
             coords0 = bev_coord[..., 0, :].reshape(Bt * T, N, 3)
-            # point features are post-ReLU -> zero-fill scatter fast path
-            bev = voxel_max_pool_tta(point_feat, coords0, (H, W), (1.0, 1.0),
-                                     "bev", nonneg=True)
-            bev = bev.reshape(B, T, H, W, c0)  # (V, Bt, T, ...) contiguous
+            header_phase_T = 0
+            if not train and cfg.fused_header:
+                # fused Pallas header: scatter straight into the phase-split
+                # half-res layout (free cell-id relabel); the header kernel
+                # consumes it canonically and re-expands to (V*Bt, ...)
+                # without ever materializing the 512^2 grid
+                folded = point_feat.reshape(Bt * T, N, V * c0)
+                bev = voxel_max_pool(folded, coords0[..., :2], (H, W),
+                                     (1.0, 1.0), "auto", True, True)
+                header_phase_T = T
+            else:
+                # point features are post-ReLU -> zero-fill scatter fast path
+                bev = voxel_max_pool_tta(point_feat, coords0, (H, W),
+                                         (1.0, 1.0), "bev", nonneg=True)
+                bev = bev.reshape(B, T, H, W, c0)  # (V, Bt, T, ...)
             cur_bev = bev_coord[:, 0, :, 0, :2]  # (Bt, N, 2) canonical
             cur_rv = rv_coord[:, 0, :, 0]
         else:
+            header_phase_T = 0
             bev = voxel_max_pool(point_feat,
                                  bev_coord.reshape(B * T, N, 3)[..., :2],
                                  (H, W), (1.0, 1.0), "auto", True)
@@ -178,7 +190,8 @@ class StreamMOSNet(nn.Module):
         (bev_feat, point_feat_1, aux0, aux1, aux2,
          new_memory) = MultiViewEncoder(cfg, tta_fold=self.tta_fold,
                                         name="bev_net")(
-             bev, cur_bev, cur_rv, memory, use_memory, train)
+             bev, cur_bev, cur_rv, memory, use_memory, train,
+             header_phase_T)
 
         if self.tta_fold:
             point_bev_feat = grid_to_point_tta(

@@ -77,17 +77,25 @@ class DownSample2D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, tta_phase_T: int = 0):
         x = x.astype(self.dtype)
-        split = x.ndim >= 5
-        phase = x.ndim == 6  # (B, T, H/2, W/2, 4, C) space-to-depth layout
-        T = x.shape[1] if split else 1
-        c_in = T * x.shape[-1]
+        split = x.ndim >= 5 and not tta_phase_T
+        phase = x.ndim == 6 and not tta_phase_T
+        T = tta_phase_T or (x.shape[1] if split else 1)
+        c_in = (T * (x.shape[-1] // 4) if tta_phase_T
+                else T * x.shape[-1])
         k3 = self.param("conv3_kernel", nn.initializers.lecun_normal(),
                         (3, 3, c_in, self.out_planes), jnp.float32)
         k1 = self.param("conv1_kernel", nn.initializers.lecun_normal(),
                         (1, 1, c_in, self.out_planes), jnp.float32)
         dn = ("NHWC", "HWIO", "NHWC")
+        if tta_phase_T:
+            # eval-only fused TTA header: x is the phase-split scatter
+            # output (Bt*T, Hh, Wh, P, V*C), canonical orientation; one
+            # Pallas kernel per variant runs both branches + eval BN +
+            # pool + relu at half resolution (ops/fused_header.py), and
+            # the outputs are re-oriented at 1/16 the full-grid bytes
+            return self._tta_phase_fused(x, k3, k1, tta_phase_T, train)
         if phase:
             return self._phase_forward(x, k3, k1, train)
 
@@ -199,6 +207,45 @@ class DownSample2D(nn.Module):
                                       win, (1, 1, 1, 1), pad)
             pool_b = m if pool_b is None else jnp.maximum(pool_b, m)
         return nn.relu(conv_b + pool_b)
+
+
+    def _tta_phase_fused(self, g_phase, k3, k1, T: int, train: bool):
+        """Fused TTA header (eval only): phase-split scatter output
+        (Bt*T, Hh, Wh, P, V*C) -> oriented per-variant DownSample2D
+        outputs (V*Bt, Hh, Wh, out_planes). See ops/fused_header.py."""
+        import jax as _jax
+
+        from streammos_tpu.ops.fused_header import (V_TTA, fused_header_tta,
+                                                    fused_header_reference)
+        from streammos_tpu.ops.tta_fold import orient_grid
+
+        assert not train, "fused TTA header is an eval-only path"
+        # eval BatchNorm is a per-channel affine; extract it through the
+        # same BN submodules the standard path creates (same param tree):
+        # BN(0) = bias_eff, BN(1) - BN(0) = scale_eff
+        bn_conv = BN(self.dtype)  # auto-named BN_0 (conv branch)
+        bn_pool = BN(self.dtype)  # BN_1 (pool branch)
+        probe = jnp.stack([jnp.zeros(self.out_planes, jnp.float32),
+                           jnp.ones(self.out_planes, jnp.float32)])
+
+        def affine(bn):
+            y = bn(probe, train=False).astype(jnp.float32)
+            return y[1] - y[0], y[0]
+
+        conv_aff = affine(bn_conv)
+        pool_aff = affine(bn_pool)
+        k3 = k3.astype(self.dtype)
+        k1 = k1.astype(self.dtype)
+        if _jax.default_backend() == "tpu":
+            y = fused_header_tta(g_phase, k3, k1, conv_aff, pool_aff, T)
+        else:  # CPU tests / fallback: same math, XLA composition
+            y = fused_header_reference(g_phase, k3, k1, conv_aff, pool_aff, T)
+        # canonical-anchored -> each variant's own orientation, stacked on
+        # the batch axis in tta_expand order (B = V * Bt)
+        y = jnp.stack([orient_grid(y[v], v, "bev", (1, 2))
+                       for v in range(V_TTA)])
+        V, Bt, Hh, Wh, C = y.shape
+        return y.reshape(V * Bt, Hh, Wh, C)
 
 
 class ChannelAtt(nn.Module):

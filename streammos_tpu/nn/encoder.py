@@ -49,9 +49,9 @@ class ConvStage(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, tta_phase_T: int = 0):
         x = DownSample2D(self.out_planes, stride=self.stride,
-                         dtype=self.dtype)(x, train)
+                         dtype=self.dtype)(x, train, tta_phase_T)
         for i in range(self.num_blocks):
             if i == 0 and self.unbalance_kernel is not None:
                 k0, k1 = self.unbalance_kernel
@@ -95,13 +95,12 @@ class MultiViewEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, bev_in, bev_coord, rv_coord, memory, use_memory,
-                 train: bool):
+                 train: bool, header_phase_T: int = 0):
         cfg = self.cfg
         dt = jnp.dtype(cfg.compute_dtype)
         c_in, c1, c2, c3 = cfg.context_layers  # (64, 32, 64, 128)
         n1, n2, n3 = cfg.layers  # (2, 3, 4)
         rv_h, rv_w = cfg.voxel.rv_shape
-        B = bev_in.shape[0]
 
         # In tta_fold mode the coord inputs are already canonical (variant-0)
         # with leading Bt = B // 4; gathered point tensors stay in the folded
@@ -125,7 +124,9 @@ class MultiViewEncoder(nn.Module):
 
         # ---- stage 0: full grid -> 1/2, asymmetric 7x3 block
         x0 = ConvStage(c1, n1, stride=2, unbalance_kernel=(7, 3), dtype=dt,
-                       name="header_bev")(bev_in.astype(dt), train)
+                       name="header_bev")(bev_in.astype(dt), train,
+                                          header_phase_T)
+        B = x0.shape[0]  # fused header re-expands (Bt*T, ...) -> (V*Bt, ...)
 
         # cascade A through the range view at 1/2 scale
         x0_point = cascade_gather(x0, bev_coord, (0.5, 0.5), "bev")
