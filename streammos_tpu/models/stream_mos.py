@@ -168,8 +168,10 @@ class StreamMOSNet(nn.Module):
                 # consumes it canonically and re-expands to (V*Bt, ...)
                 # without ever materializing the 512^2 grid
                 folded = point_feat.reshape(Bt * T, N, V * c0)
+                # row_pad=1: one empty half-res row above/below so the
+                # header kernel's halo windows are single static DMAs
                 bev = voxel_max_pool(folded, coords0[..., :2], (H, W),
-                                     (1.0, 1.0), "auto", True, True)
+                                     (1.0, 1.0), "auto", True, True, 1)
                 header_phase_T = T
             else:
                 # point features are post-ReLU -> zero-fill scatter fast path

@@ -498,9 +498,6 @@ class PointAttFusion(nn.Module):
         return (stacked * att).sum(axis=-2)
 
 
-FUSIONS = {}
-
-
 def make_fusion(mode: str, out_channel: int, dropout_rate: float,
                 dtype: Dtype, name: str):
     """Fusion-mode registry replacing the reference's

@@ -11,13 +11,17 @@ copies (`ops/tta_fold.py:orient_grid`), and surrounds the conv with layout
 retiling worth ~20 ms against ~0.5 ms of FLOPs.
 
 Here the scatter emits the space-to-depth phase layout directly
-(`voxel_max_pool(phase_split=True)`, a free relabel of cell ids) and the
+(`voxel_max_pool(phase_split=True, row_pad=1)` — a free relabel of cell
+ids, with one always-empty half-res row above and below the grid) and the
 kernels consume it straight from HBM:
 
-  input   G (Bt*T, Hh, Wh, P=4, V*C)    canonical orientation, half res
-  output  Y (V, Bt, Hh, Wh, Cout)       DownSample2D output per variant,
-                                        CANONICAL-anchored (orient after,
-                                        at 1/16 the bytes of the old path)
+  input   G (Bt*T, Hh+2, Wh, P=4, V*C)  canonical orientation, half res,
+                                        1 zero row of padding top+bottom
+  output  Y (Bt, Hh, Wh, PAIR*Cout)     DownSample2D output for the two
+                                        variants of the pair side by side
+                                        on channels, CANONICAL-anchored
+                                        (orient after, at 1/16 the bytes
+                                        of the old path)
 
 Key algebra (exact — the grid sides are even, so no half-pixel error): a
 full-resolution axis reversal r -> 2*Hh-1-r is, in phase space r = 2h+p,
@@ -35,19 +39,31 @@ eval BatchNorm affines, and the final ReLU run inside the kernel; nothing
 at 512^2 resolution is ever materialized, and the per-variant 400 MB
 orientation copies disappear (outputs are re-oriented at 256^2 x 32).
 
-Mosaic constraints that shaped the implementation:
-* HBM DMA slices must be lane-tile aligned — a (.., p, v, 64ch) slice
-  fails to legalize, but the v-major channel fold means a variant PAIR is
-  one contiguous 128-channel block, so each kernel handles the two
-  variants that share a row flip (fx = v>>1) and selects each variant via
-  zero rows in the merged weight matrices (MXU padding is free — the op
-  is memory-bound);
-* vector-level sublane rotates/concats of these shapes fail to legalize,
-  so every spatial shift is an offset load/store against border-padded
-  VMEM scratch (`gbuf`/`zbuf` carry one pad column per side).
+Round-2 second iteration (the first shipped at 8.84 ms/call, ~4x off its
+traffic floor — docs/DESIGN.md):
+* the T frames moved from VMEM-resident slabs into the GRID (innermost
+  dim) with f32 accumulators carried across steps, shrinking the working
+  set enough for TR=8 row tiles and a 2-slot double buffer — DMA for
+  step k+1 is in flight while step k computes;
+* the scatter's `row_pad=1` makes each tile's (TR+2)-row halo window one
+  static in-bounds DMA per (phase) — 4 copies per step, no edge cases,
+  no per-tile zero-row stores;
+* the two variants of a pair ride the matmul N dimension together
+  (n = PAIR*Cout = 64) wherever they share an input window — the center
+  column taps and the whole pool branch — removing most of the MXU
+  lane-padding waste of n=32 matmuls. Only the off-column conv tap
+  (whose +-1 column offset differs between the y-flipped pair members)
+  keeps per-variant matmuls.
 
-Traffic: the two pair kernels together read |G| exactly once (~400 MB) +
-write 4 x 4 MB, vs ~3-4 passes of 400 MB before.
+Mosaic constraints that shaped the implementation (kept from v1):
+* HBM DMA slices must be lane-tile aligned — the v-major channel fold
+  makes a variant pair one contiguous 128-channel block per phase;
+* vector-level sublane rotates/concats of these shapes do not legalize,
+  so every spatial shift is an offset load/store against border-padded
+  VMEM scratch (GPAD-wide columns in `gbuf`, ZPAD in `zacc`).
+
+Traffic: the two pair kernels together read |G| once (+TR+2/TR halo
+overlap) + write 2 x 4 MB; compute floor ~1.9 ms of n-padded matmuls.
 """
 from __future__ import annotations
 
@@ -64,7 +80,7 @@ V_TTA = 4
 P_PHASE = 4
 PAIR = 2  # variants per kernel: {2k, 2k+1} share fx = k
 GPAD = 16  # gbuf border width: bf16 sublane-tile-aligned DMA destinations
-ZPAD = 8   # zbuf border width: f32 sublane tile
+ZPAD = 8   # zacc border width: f32 sublane tile
 NEG = float(np.finfo(np.float32).min) / 2
 
 
@@ -84,190 +100,217 @@ def _pool_axis_taps(flip: bool):
     return ((-1, 1), (0, 0), (0, 1))
 
 
-def merged_conv_kernel(k3: jax.Array, v: int, T: int, C: int,
+def conv_kernel_shared(k3: jax.Array, k_pair: int, T: int, C: int,
                        dtype) -> jax.Array:
-    """(T, 2, 2, P*PAIR*C, Cout) phase-merged conv kernel for variant v;
-    rows follow the pair tile's channel layout p*(PAIR*C) + vp*C + c with
-    zeros on the sibling variant's rows.
+    """(T, 2, P*PAIR*C, PAIR*Cout) merged conv kernels for the CENTER
+    column taps (shared window for both pair members): index [t, rs] is
+    the kernel of row-slot rs (0 = off-row, 1 = center rows); rows follow
+    the pair tile's channel layout p*(PAIR*C) + vp*C + c, columns
+    vp*Cout + co.
 
     k3: (3, 3, T*C, Cout) full-res kernel, frame-major channels
     (`nn/blocks.py:DownSample2D` frame-split)."""
-    fx, fy, vp = bool(v >> 1), bool(v & 1), v % PAIR
+    fx = bool(k_pair)
     Cout = k3.shape[-1]
-    out = jnp.zeros((T, 2, 2, P_PHASE * PAIR * C, Cout), jnp.float32)
-    for (rs, _ro, rp, rk) in _axis_taps(fx):
-        for (cs, _co, cp, ck) in _axis_taps(fy):
+    out = jnp.zeros((T, 2, P_PHASE * PAIR * C, PAIR * Cout), jnp.float32)
+    for vp in range(PAIR):
+        fy = bool(vp)
+        for (rs, _ro, rp, rk) in _axis_taps(fx):
+            for (cs, _co, cp, ck) in _axis_taps(fy):
+                if cs != 1:
+                    continue
+                base = (2 * rp + cp) * PAIR * C + vp * C
+                for t in range(T):
+                    blk = k3[rk, ck, t * C:(t + 1) * C].astype(jnp.float32)
+                    out = out.at[t, rs, base:base + C,
+                                 vp * Cout:(vp + 1) * Cout].add(blk)
+    return out.astype(dtype)
+
+
+def conv_kernel_split(k3: jax.Array, k_pair: int, T: int, C: int,
+                      dtype) -> jax.Array:
+    """(T, 2, PAIR, P*PAIR*C, PAIR*Cout) conv kernels for the single
+    OFF-COLUMN tap, whose +-1 column window differs per pair member:
+    index [t, rs, vp]. The output columns are the full pair block with
+    zeros on the sibling's half, so the matmul result accumulates into
+    the shared n = PAIR*Cout conv sum without any lane placement op (the
+    n=32 matmul pads to 128 MXU lanes either way)."""
+    fx = bool(k_pair)
+    Cout = k3.shape[-1]
+    out = jnp.zeros((T, 2, PAIR, P_PHASE * PAIR * C, PAIR * Cout),
+                    jnp.float32)
+    for vp in range(PAIR):
+        fy = bool(vp)
+        (cs0, _co, cp, ck) = _axis_taps(fy)[0]
+        assert cs0 == 0
+        for (rs, _ro, rp, rk) in _axis_taps(fx):
             base = (2 * rp + cp) * PAIR * C + vp * C
             for t in range(T):
                 blk = k3[rk, ck, t * C:(t + 1) * C].astype(jnp.float32)
-                out = out.at[t, rs, cs, base:base + C].add(blk)
+                out = out.at[t, rs, vp, base:base + C,
+                             vp * Cout:(vp + 1) * Cout].add(blk)
     return out.astype(dtype)
 
 
-def merged_pool_kernel(k1: jax.Array, v: int, T: int, C: int,
-                       dtype) -> jax.Array:
-    """(T, P, P*PAIR*C, Cout) per-phase 1x1 kernels for variant v (a 1x1
-    conv does not mix phases; per-phase outputs keep every matmul result
-    in a clean zero-offset layout)."""
-    vp = v % PAIR
+def pool_kernel(k1: jax.Array, T: int, C: int, dtype) -> jax.Array:
+    """(T, PAIR*C, PAIR*Cout) block-diagonal 1x1 kernel (vp in -> vp out);
+    a 1x1 conv does not mix phases, and every phase uses the same kernel,
+    so one compact k=PAIR*C matmul per phase serves both pair members."""
     Cout = k1.shape[-1]
-    out = jnp.zeros((T, P_PHASE, P_PHASE * PAIR * C, Cout), jnp.float32)
-    for p in range(P_PHASE):
-        base = p * PAIR * C + vp * C
+    out = jnp.zeros((T, PAIR * C, PAIR * Cout), jnp.float32)
+    for vp in range(PAIR):
         for t in range(T):
             blk = k1[0, 0, t * C:(t + 1) * C].astype(jnp.float32)
-            out = out.at[t, p, base:base + C].add(blk)
+            out = out.at[t, vp * C:vp * C + C,
+                         vp * Cout:(vp + 1) * Cout].add(blk)
     return out.astype(dtype)
 
 
-def _pair_kernel(g_hbm, kc_ref, kp_ref, aff_ref, y_ref, gbuf, zbuf, sems,
-                 *, Bt: int, T: int, Hh: int, Wh: int, C: int, Cout: int,
-                 TR: int, k_pair: int):
-    """One variant pair's fused DownSample2D over the phase grid.
+def _pair_kernel(g_hbm, kcs_ref, kcx_ref, kp_ref, aff_ref, y_ref, gbuf,
+                 zacc, cacc, sems, *, Bt: int, T: int, Hh: int, Wh: int,
+                 C: int, Cout: int, TR: int, k_pair: int):
+    """One variant pair's fused DownSample2D over the padded phase grid.
 
-    Grid (Bt, n_row_tiles). Per step: DMA this tile's T frame slices
-    (body TR rows + two 1-row halos, the pair's P lane-aligned channel
-    blocks), then per variant-in-pair accumulate both branches over
-    frames, apply BN affines, pool, ReLU.
+    Grid (Bt, n_row_tiles, T) — frames innermost, with f32 accumulators
+    carried across the T steps of a tile and a 2-slot double buffer so the
+    next step's 4 phase-block DMAs overlap this step's matmuls.
 
-    Refs: g_hbm (Bt*T, Hh, Wh, P*V*C) flat channels in ANY/HBM (the
+    Refs: g_hbm (Bt*T, Hh+2, Wh, P*V*C) flat channels in ANY/HBM (the
     pair's per-phase 128-channel blocks are lane-tile-aligned slices);
-    kc (PAIR, T, 2, 2, P*PAIR*C, Cout) VMEM;
-    kp (PAIR, T, P, P*PAIR*C, Cout) VMEM; aff (4, Cout) f32 VMEM — rows
-    (conv scale, conv bias, pool scale, pool bias);
-    y block (PAIR, 1, TR, Wh, Cout);
-    gbuf (T, TR+2, Wh+2*GPAD, P*PAIR*C) scratch — DMA destinations must be
-    sublane-tile aligned, so the borders are GPAD(=16)-wide and the +-1
-    tap windows become (legal) unaligned value reads;
-    zbuf (P, TR+2, Wh+2*ZPAD, Cout) f32 scratch (ZPAD=8, same story);
-    sems: DMA semaphore.
+    kcs (T, 2, P*PAIR*C, PAIR*Cout) shared-window conv kernels VMEM;
+    kcx (T, 2, PAIR, P*PAIR*C, PAIR*Cout) off-column conv kernels VMEM;
+    kp (T, PAIR*C, PAIR*Cout) pool 1x1 VMEM;
+    aff (4, PAIR*Cout) f32 VMEM — rows (conv scale, conv bias, pool
+    scale, pool bias), each variant-tiled;
+    y block (1, TR, Wh, PAIR*Cout);
+    gbuf (2, TR+2, Wh+2*GPAD, P*PAIR*C) double-buffered tile scratch —
+    DMA destinations must be sublane-tile aligned, so the borders are
+    GPAD(=16)-wide and the +-1 tap windows become (legal) unaligned value
+    reads;
+    zacc (P, TR+2, Wh+2*ZPAD, PAIR*Cout) f32 pool-branch accumulator
+    (NEG borders double as the maxpool's out-of-grid exclusion value);
+    cacc (TR*Wh, PAIR*Cout) f32 conv-branch accumulator;
+    sems: (2,) DMA semaphores, one per buffer slot.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
+    t = pl.program_id(2)
     n_i = pl.num_programs(1)
     Cin = P_PHASE * PAIR * C
-    r0 = i * TR  # first output row of this tile
+    PC = PAIR * Cout
     fx = bool(k_pair)
     W2 = Wh + 2 * GPAD
     ch0 = k_pair * PAIR * C  # the pair's channel offset within a phase
 
-    # ---- body rows [r0, r0+TR) -> gbuf rows [1, TR+1), cols [1, Wh+1)
-    body = []
-    for t in range(T):
-        for p in range(P_PHASE):
-            body.append(pltpu.make_async_copy(
-                g_hbm.at[b * T + t, pl.ds(r0, TR), :,
-                         pl.ds(p * V_TTA * C + ch0, PAIR * C)],
-                gbuf.at[t, pl.ds(1, TR), pl.ds(GPAD, Wh),
-                        pl.ds(p * PAIR * C, PAIR * C)],
-                sems))
-    for c in body:
-        c.start()
+    step = (b * n_i + i) * T + t
+    last = Bt * n_i * T - 1
+    slot = jax.lax.rem(step, 2)
+    nxt = step + 1
+    nb = nxt // (n_i * T)
+    ni = jax.lax.rem(nxt // T, n_i)
+    ntt = jax.lax.rem(nxt, T)
 
-    # ---- halo rows (1 row each); zeroed at the grid border
-    def halo(src_row, dst_row):
+    def copies(s, cb, ci, ct):
+        # padded G: tile i's halo window is rows [i*TR, i*TR + TR+2)
         return [pltpu.make_async_copy(
-            g_hbm.at[b * T + t, pl.ds(src_row, 1), :,
+            g_hbm.at[cb * T + ct, pl.ds(ci * TR, TR + 2), :,
                      pl.ds(p * V_TTA * C + ch0, PAIR * C)],
-            gbuf.at[t, pl.ds(dst_row, 1), pl.ds(GPAD, Wh),
-                    pl.ds(p * PAIR * C, PAIR * C)],
-            sems)
-            for t in range(T) for p in range(P_PHASE)]
+            gbuf.at[s, :, pl.ds(GPAD, Wh), pl.ds(p * PAIR * C, PAIR * C)],
+            sems.at[s]) for p in range(P_PHASE)]
 
-    @pl.when(i > 0)
+    # ---- pipeline: warm up at step 0, then prefetch one step ahead
+    @pl.when(step == 0)
     def _():
-        for c in halo(r0 - 1, 0):
-            c.start()
-
-    @pl.when(i == 0)
-    def _():
-        for t in range(T):
-            gbuf[t, 0] = jnp.zeros((W2, Cin), gbuf.dtype)
-
-    @pl.when(i < n_i - 1)
-    def _():
-        for c in halo(r0 + TR, TR + 1):
-            c.start()
-
-    @pl.when(i == n_i - 1)
-    def _():
-        for t in range(T):
-            gbuf[t, TR + 1] = jnp.zeros((W2, Cin), gbuf.dtype)
-
-    # zero-pad border columns (conv zero padding); GPAD-wide aligned stores
-    for t in range(T):
-        gbuf[t, :, 0:GPAD] = jnp.zeros((TR + 2, GPAD, Cin), gbuf.dtype)
-        gbuf[t, :, Wh + GPAD:W2] = jnp.zeros((TR + 2, GPAD, Cin),
+        # zero the column borders once — DMAs never touch them
+        gbuf[:, :, 0:GPAD] = jnp.zeros((2, TR + 2, GPAD, Cin), gbuf.dtype)
+        gbuf[:, :, Wh + GPAD:W2] = jnp.zeros((2, TR + 2, GPAD, Cin),
                                              gbuf.dtype)
+        for c in copies(0, b, i, t):
+            c.start()
 
-    for c in body:
+    @pl.when(step < last)
+    def _():
+        for c in copies(1 - slot, nb, ni, ntt):
+            c.start()
+
+    for c in copies(slot, b, i, t):
         c.wait()
 
-    @pl.when(i > 0)
+    # ---- per-frame matmuls, accumulated across the T grid steps
+    @pl.when(t == 0)
     def _():
-        for c in halo(r0 - 1, 0):
-            c.wait()
-
-    @pl.when(i < n_i - 1)
-    def _():
-        for c in halo(r0 + TR, TR + 1):
-            c.wait()
-
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (TR, Wh, 1), 0)
-    r_off = +1 if fx else -1
-
-    for vp in range(PAIR):
-        fy = bool(vp)
-        c_off = +1 if fy else -1
-
-        # ---- conv branch: 2x2 (row slot, col slot) matmuls per frame;
-        # each tap window is an offset ref load from the padded tile
-        conv = jnp.zeros((TR * Wh, Cout), jnp.float32)
-        for t in range(T):
-            for rs, rstart in ((0, 1 + r_off), (1, 1)):
-                for cs, cstart in ((0, GPAD + c_off), (1, GPAD)):
-                    rows = gbuf[t, rstart:rstart + TR,
-                                cstart:cstart + Wh, :]
-                    conv += jax.lax.dot_general(
-                        rows.reshape(TR * Wh, Cin), kc_ref[vp, t, rs, cs],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-        conv = conv.reshape(TR, Wh, Cout) * aff_ref[0] + aff_ref[1]
-
-        # ---- pool branch: one clean-layout matmul per phase (t-summed) +
-        # BN affine, staged into the NEG-padded zbuf so the 3x3 taps are
-        # offset loads with the exclusion value in the border columns
-        for p in range(P_PHASE):
-            zp = jnp.zeros(((TR + 2) * Wh, Cout), jnp.float32)
-            for t in range(T):
-                g_rows = gbuf[t, :, GPAD:GPAD + Wh, :]
-                zp += jax.lax.dot_general(
-                    g_rows.reshape((TR + 2) * Wh, Cin), kp_ref[vp, t, p],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            zbuf[p, :, 0:ZPAD] = jnp.full((TR + 2, ZPAD, Cout), NEG,
+        cacc[:] = jnp.zeros((TR * Wh, PC), jnp.float32)
+        zacc[:, :, ZPAD:ZPAD + Wh] = jnp.zeros((P_PHASE, TR + 2, Wh, PC),
+                                               jnp.float32)
+        zacc[:, :, 0:ZPAD] = jnp.full((P_PHASE, TR + 2, ZPAD, PC), NEG,
+                                      jnp.float32)
+        zacc[:, :, Wh + ZPAD:] = jnp.full((P_PHASE, TR + 2, ZPAD, PC), NEG,
                                           jnp.float32)
-            zbuf[p, :, Wh + ZPAD:Wh + 2 * ZPAD] = jnp.full(
-                (TR + 2, ZPAD, Cout), NEG, jnp.float32)
-            zbuf[p, :, ZPAD:ZPAD + Wh, :] = (
-                zp * aff_ref[2] + aff_ref[3]).reshape(TR + 2, Wh, Cout)
 
-        # ---- 3x3/s2 maxpool in phase space; -inf outside the grid
-        pooled = jnp.full((TR, Wh, Cout), NEG, jnp.float32)
-        for (p_ro, p_rp) in _pool_axis_taps(fx):
-            row_ok = ((r0 + rows_iota + p_ro >= 0)
-                      & (r0 + rows_iota + p_ro < Hh))
-            for (p_co, p_cp) in _pool_axis_taps(fy):
-                ph = 2 * p_rp + p_cp
-                zz = zbuf[ph, 1 + p_ro:1 + p_ro + TR,
-                          ZPAD + p_co:ZPAD + p_co + Wh, :]
-                pooled = jnp.maximum(pooled, jnp.where(row_ok, zz, NEG))
+    r_off = +1 if fx else -1
+    conv = cacc[:]
+    # center-column taps: both pair members share the window -> n = PAIR*Cout
+    for rs, rstart in ((0, 1 + r_off), (1, 1)):
+        rows = gbuf[slot, rstart:rstart + TR, GPAD:GPAD + Wh, :]
+        conv += jax.lax.dot_general(
+            rows.reshape(TR * Wh, Cin), kcs_ref[t, rs],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    # off-column tap: the +-1 column window differs per member (the
+    # kernel's zero sibling-columns land the n=32 result in place)
+    for vp in range(PAIR):
+        c_off = +1 if vp else -1
+        for rs, rstart in ((0, 1 + r_off), (1, 1)):
+            rows = gbuf[slot, rstart:rstart + TR,
+                        GPAD + c_off:GPAD + c_off + Wh, :]
+            conv += jax.lax.dot_general(
+                rows.reshape(TR * Wh, Cin), kcx_ref[t, rs, vp],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    cacc[:] = conv
 
-        y_ref[vp, 0] = jnp.maximum(conv + pooled, 0.0).astype(y_ref.dtype)
+    # pool branch: per phase, one compact k=PAIR*C matmul for both members
+    for p in range(P_PHASE):
+        g_rows = gbuf[slot, :, GPAD:GPAD + Wh,
+                      p * PAIR * C:(p + 1) * PAIR * C]
+        zp = jax.lax.dot_general(
+            g_rows.reshape((TR + 2) * Wh, PAIR * C), kp_ref[t],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        zacc[p, :, ZPAD:ZPAD + Wh] = (
+            zacc[p, :, ZPAD:ZPAD + Wh]
+            + zp.reshape(TR + 2, Wh, PC))
+
+    # ---- epilogue on the last frame: affines, maxpool taps, ReLU, write
+    @pl.when(t == T - 1)
+    def _():
+        for p in range(P_PHASE):
+            zacc[p, :, ZPAD:ZPAD + Wh] = (
+                zacc[p, :, ZPAD:ZPAD + Wh] * aff_ref[2] + aff_ref[3])
+
+        r0 = i * TR
+        rows_iota = jax.lax.broadcasted_iota(jnp.int32, (TR, Wh, 1), 0)
+        lane_vp = jax.lax.broadcasted_iota(jnp.int32, (TR, Wh, PC),
+                                           2) // Cout
+        pooled = jnp.full((TR, Wh, PC), NEG, jnp.float32)
+        for vp in range(PAIR):
+            fy = bool(vp)
+            for (p_ro, p_rp) in _pool_axis_taps(fx):
+                row_ok = ((r0 + rows_iota + p_ro >= 0)
+                          & (r0 + rows_iota + p_ro < Hh))
+                for (p_co, p_cp) in _pool_axis_taps(fy):
+                    ph = 2 * p_rp + p_cp
+                    zz = zacc[ph, 1 + p_ro:1 + p_ro + TR,
+                              ZPAD + p_co:ZPAD + p_co + Wh, :]
+                    ok = row_ok & (lane_vp == vp)
+                    pooled = jnp.maximum(pooled, jnp.where(ok, zz, NEG))
+
+        conv_out = (cacc[:].reshape(TR, Wh, PC) * aff_ref[0] + aff_ref[1])
+        y_ref[0] = jnp.maximum(conv_out + pooled, 0.0).astype(y_ref.dtype)
 
 
 def _pick_tr(Hh: int) -> int:
-    for tr in (4, 2):
+    for tr in (8, 4, 2):
         if Hh % tr == 0 and Hh // tr >= 2:
             return tr
     return 0
@@ -279,9 +322,11 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
                      T: int, interpret: bool = False) -> jax.Array:
     """All four TTA variants' DownSample2D outputs, canonical-anchored.
 
-    g_phase: (Bt*T, Hh, Wh, P, V*C) — `voxel_max_pool(..., phase_split=True)`
-      output whose channel axis carries the folded TTA variants (v-major,
-      as `models.stream_mos` folds them).
+    g_phase: (Bt*T, Hh+2, Wh, P, V*C) —
+      `voxel_max_pool(..., phase_split=True, row_pad=1)` output (one
+      always-zero half-res row above and below the grid) whose channel
+      axis carries the folded TTA variants (v-major, as
+      `models.stream_mos` folds them).
     k3 / k1: (3, 3, T*C, Cout) / (1, 1, T*C, Cout) DownSample2D kernels.
     conv_affine / pool_affine: per-channel eval-BN (scale, bias) pairs.
 
@@ -289,8 +334,9 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
     orientation — apply `tta_fold.orient_grid` per variant for the
     variant-oriented stack the rest of the encoder consumes.
     """
-    BtT, Hh, Wh, P, VC = g_phase.shape
+    BtT, Hp, Wh, P, VC = g_phase.shape
     assert P == P_PHASE and VC % V_TTA == 0
+    Hh = Hp - 2  # row_pad=1 top and bottom
     C = VC // V_TTA
     assert BtT % T == 0
     Bt = BtT // T
@@ -303,60 +349,73 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
                                       pool_affine, T)
     # flat channels: pair k of phase p is the lane-tile-aligned 128-wide
     # slice at p*V*C + k*PAIR*C (v-major fold)
-    g_flat = g_phase.reshape(BtT, Hh, Wh, P * VC)
+    g_flat = g_phase.reshape(BtT, Hp, Wh, P * VC)
 
-    aff = jnp.stack([conv_affine[0], conv_affine[1],
-                     pool_affine[0], pool_affine[1]]).astype(jnp.float32)
+    def tile_pair(a):
+        return jnp.tile(a.astype(jnp.float32), (PAIR,))
+
+    aff = jnp.stack([tile_pair(conv_affine[0]), tile_pair(conv_affine[1]),
+                     tile_pair(pool_affine[0]), tile_pair(pool_affine[1])])
 
     n_tiles = Hh // TR
+    Cin = P_PHASE * PAIR * C
+    PC = PAIR * Cout
+    kp = pool_kernel(k1, T, C, dt)
     outs = []
     for k_pair in range(V_TTA // PAIR):
-        kc = jnp.stack([merged_conv_kernel(k3, PAIR * k_pair + vp, T, C, dt)
-                        for vp in range(PAIR)])
-        kp = jnp.stack([merged_pool_kernel(k1, PAIR * k_pair + vp, T, C, dt)
-                        for vp in range(PAIR)])
+        kcs = conv_kernel_shared(k3, k_pair, T, C, dt)
+        kcx = conv_kernel_split(k3, k_pair, T, C, dt)
         kernel = functools.partial(
             _pair_kernel, Bt=Bt, T=T, Hh=Hh, Wh=Wh, C=C, Cout=Cout,
             TR=TR, k_pair=k_pair)
-        Cin = P_PHASE * PAIR * C
         y = pl.pallas_call(
             kernel,
-            grid=(Bt, n_tiles),
+            grid=(Bt, n_tiles, T),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((PAIR, T, 2, 2, Cin, Cout),
-                             lambda b, i: (0, 0, 0, 0, 0, 0),
+                pl.BlockSpec((T, 2, Cin, PC), lambda b, i, t: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((PAIR, T, P_PHASE, Cin, Cout),
-                             lambda b, i: (0, 0, 0, 0, 0),
+                pl.BlockSpec((T, 2, PAIR, Cin, PC),
+                             lambda b, i, t: (0, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, Cout), lambda b, i: (0, 0),
+                pl.BlockSpec((T, PAIR * C, PC),
+                             lambda b, i, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, PC), lambda b, i, t: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((PAIR, 1, TR, Wh, Cout),
-                                   lambda b, i: (0, b, i, 0, 0),
+            out_specs=pl.BlockSpec((1, TR, Wh, PC),
+                                   lambda b, i, t: (b, i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((PAIR, Bt, Hh, Wh, Cout), dt),
+            out_shape=jax.ShapeDtypeStruct((Bt, Hh, Wh, PC), dt),
             scratch_shapes=[
-                pltpu.VMEM((T, TR + 2, Wh + 2 * GPAD, Cin), dt),
-                pltpu.VMEM((P_PHASE, TR + 2, Wh + 2 * ZPAD, Cout),
+                pltpu.VMEM((2, TR + 2, Wh + 2 * GPAD, Cin), dt),
+                pltpu.VMEM((P_PHASE, TR + 2, Wh + 2 * ZPAD, PC),
                            jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((TR * Wh, PC), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
+            # the double-buffered TR=8 working set slightly exceeds the
+            # 16 MiB default scoped-vmem limit; v5e VMEM is far larger
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(g_flat, kc, kp, aff)
-        outs.append(y)
-    return jnp.concatenate(outs, axis=0)
+        )(g_flat, kcs, kcx, kp, aff)
+        # split the pair back out of the channel axis
+        outs.append(y[..., :Cout])
+        outs.append(y[..., Cout:])
+    return jnp.stack(outs, axis=0)
 
 
 def fused_header_reference(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
                            conv_affine, pool_affine, T: int) -> jax.Array:
     """Slow, obviously-correct XLA composition (used for parity tests and
-    as the non-TPU fallback): rebuild the full-res grid, orient each
-    variant, run the standard DownSample2D math, anchor the outputs back
-    to canonical orientation."""
+    as the non-TPU fallback): strip the padding rows, rebuild the full-res
+    grid, orient each variant, run the standard DownSample2D math, anchor
+    the outputs back to canonical orientation."""
     from streammos_tpu.ops.tta_fold import orient_grid
 
+    g_phase = g_phase[:, 1:-1]  # strip the row_pad=1 halo rows
     BtT, Hh, Wh, P, VC = g_phase.shape
     C = VC // V_TTA
     Bt = BtT // T

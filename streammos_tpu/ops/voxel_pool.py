@@ -32,7 +32,8 @@ import numpy as np
 
 def _cell_ids(inds: jax.Array, out_size: Sequence[int],
               scale_rate: Sequence[float],
-              phase_split: bool = False) -> Tuple[jax.Array, jax.Array]:
+              phase_split: bool = False,
+              row_pad: int = 0) -> Tuple[jax.Array, jax.Array]:
     """Flattened cell id per point plus validity mask.
 
     inds: (..., N, D) float fractional grid coordinates.
@@ -44,6 +45,12 @@ def _cell_ids(inds: jax.Array, out_size: Sequence[int],
     header's stride-2 convs run at half resolution without any dense
     rearrangement of the full grid (tools/bench_header.py: the same conv is
     1.7x faster in phase form, and all 512^2-layout copies disappear).
+
+    row_pad (phase_split only): shift the half-res row index by ``row_pad``
+    and emit ``2*row_pad`` extra (always-empty, zero-filled) rows, so that
+    every row window a downstream row-tiled consumer needs — including the
+    one-row halo above/below each tile — is a single in-bounds static-size
+    DMA slice (ops/fused_header.py reads the grid this way).
     """
     D = len(out_size)
     num_cells = int(np.prod(out_size))
@@ -58,8 +65,9 @@ def _cell_ids(inds: jax.Array, out_size: Sequence[int],
     if phase_split:
         assert D == 2 and out_size[0] % 2 == 0 and out_size[1] % 2 == 0
         cx, cy = cells
-        flat = (((cx >> 1) * (out_size[1] // 2) + (cy >> 1)) * 4
+        flat = ((((cx >> 1) + row_pad) * (out_size[1] // 2) + (cy >> 1)) * 4
                 + (cx & 1) * 2 + (cy & 1))
+        num_cells = (out_size[0] // 2 + 2 * row_pad) * (out_size[1] // 2) * 4
     else:
         flat = jnp.zeros(inds.shape[:-1], dtype=jnp.int32)
         stride = num_cells
@@ -78,13 +86,14 @@ def _segment_max_2d(feat: jax.Array, flat: jax.Array, num_cells: int) -> jax.Arr
     return jnp.where(jnp.isfinite(out), out, jnp.zeros((), feat.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def voxel_max_pool(feat: jax.Array, inds: jax.Array,
                    out_size: Tuple[int, ...],
                    scale_rate: Tuple[float, ...],
                    impl: str = "auto",
                    nonneg: bool = False,
-                   phase_split: bool = False) -> jax.Array:
+                   phase_split: bool = False,
+                   row_pad: int = 0) -> jax.Array:
     """Scatter-max N point features into a dense grid.
 
     Args:
@@ -109,7 +118,7 @@ def voxel_max_pool(feat: jax.Array, inds: jax.Array,
       (see `_cell_ids`).
     """
     out, _ = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg,
-                       phase_split)
+                       phase_split, row_pad)
     return out
 
 
@@ -127,15 +136,15 @@ def _use_pallas(impl: str, total_cells: int) -> bool:
 
 
 def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
-              phase_split=False):
+              phase_split=False, row_pad=0):
     B, N, C = feat.shape
-    num_cells = int(np.prod(out_size))
-    flat, valid = _cell_ids(inds, out_size, scale_rate, phase_split)
+    flat, valid = _cell_ids(inds, out_size, scale_rate, phase_split, row_pad)
     if phase_split:
         H, W = out_size
-        grid_shape = (H // 2, W // 2, 4)
+        grid_shape = (H // 2 + 2 * row_pad, W // 2, 4)
     else:
         grid_shape = tuple(out_size)
+    num_cells = int(np.prod(grid_shape))
     offsets = (jnp.arange(B, dtype=jnp.int32) * num_cells)[:, None]
     flat_global = jnp.where(valid, flat + offsets, B * num_cells)
     if _use_pallas(impl, B * num_cells):
@@ -170,16 +179,17 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
     return out, (feat, flat, valid, out)
 
 
-def _fwd(feat, inds, out_size, scale_rate, impl, nonneg, phase_split):
+def _fwd(feat, inds, out_size, scale_rate, impl, nonneg, phase_split,
+         row_pad):
     out, res = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg,
-                         phase_split)
+                         phase_split, row_pad)
     return out, res
 
 
-def _bwd(out_size, scale_rate, impl, nonneg, phase_split, res, g):
+def _bwd(out_size, scale_rate, impl, nonneg, phase_split, row_pad, res, g):
     feat, flat, valid, out = res
     B, N, C = feat.shape
-    num_cells = int(np.prod(out_size))
+    num_cells = int(np.prod(out.shape[1:-1]))
     out_flat = out.reshape(B, num_cells, C)
     g_flat = g.reshape(B, num_cells, C)
     safe = jnp.minimum(flat, num_cells - 1)
