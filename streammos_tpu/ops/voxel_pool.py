@@ -135,6 +135,21 @@ def _use_pallas(impl: str, total_cells: int) -> bool:
     return False
 
 
+def _use_vmem(impl: str, num_cells: int, C: int, itemsize: int,
+              nonneg: bool) -> bool:
+    # VMEM-resident scatter (ops/pallas_scatter_vmem.py): wins whenever the
+    # whole grid fits in VMEM several times over — true for every cascade
+    # scatter of the folded eval frame (8k-64k cells x 128/256 ch). Gated to
+    # the TPU backend (tests and the CPU-mesh dryrun keep the XLA path).
+    if impl not in ("auto", "vmem") or not nonneg:
+        return False
+    from streammos_tpu.ops import pallas_scatter_vmem
+
+    if not pallas_scatter_vmem.fits_vmem(num_cells, C, itemsize):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
               phase_split=False, row_pad=0):
     B, N, C = feat.shape
@@ -147,7 +162,12 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
     num_cells = int(np.prod(grid_shape))
     offsets = (jnp.arange(B, dtype=jnp.int32) * num_cells)[:, None]
     flat_global = jnp.where(valid, flat + offsets, B * num_cells)
-    if _use_pallas(impl, B * num_cells):
+    if _use_vmem(impl, num_cells, C, feat.dtype.itemsize, nonneg):
+        from streammos_tpu.ops import pallas_scatter_vmem
+
+        pooled = pallas_scatter_vmem.scatter_max_vmem(feat, flat, num_cells)
+        out = pooled.reshape((B,) + grid_shape + (C,))
+    elif _use_pallas(impl, B * num_cells):
         from streammos_tpu.ops import pallas_scatter
 
         pooled = pallas_scatter.scatter_max_pallas(
