@@ -345,6 +345,13 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
     dt = g_phase.dtype
     TR = _pick_tr(Hh)
     if TR == 0:
+        # no-silent-caps rule: say so when the kernel cannot tile this grid
+        import warnings
+
+        warnings.warn(
+            f"fused_header_tta: Hh={Hh} has no valid row-tile (needs an 8/4/2"
+            " divisor with >=2 tiles); falling back to the XLA reference"
+            " composition", stacklevel=2)
         return fused_header_reference(g_phase, k3, k1, conv_affine,
                                       pool_affine, T)
     # flat channels: pair k of phase p is the lane-tile-aligned 128-wide

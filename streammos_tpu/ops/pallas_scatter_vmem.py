@@ -42,16 +42,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BN = 1024  # points per grid step (ids block = 4 KB SMEM)
-VMEM_BUDGET = 100 * 1024 * 1024
+# v5e VMEM is 128 MiB; measured on-chip (round 3): the compiled kernel's
+# scoped allocation = K-copy scratch + the SINGLE-BUFFERED full-grid output
+# window + double-buffered input windows + ~48 MiB of register-allocator
+# spill slots for the unrolled 8-point update body. The round-2 budget
+# ignored the output window and the spills, so the stage-0 BEV cascade
+# (65544 cells x 128 ch, K=4) failed to load with "Used 128.31M of 128.00M
+# vmem" — caught by running bench.py on hardware.
+VMEM_TOTAL = 127 * 1024 * 1024
+SPILL_ALLOWANCE = 52 * 1024 * 1024
 MAX_COPIES = 8
 
 
 def _num_copies(cells_pad: int, C: int, itemsize: int) -> int:
     grid_bytes = cells_pad * C * itemsize
-    # K update copies + 1 output block staged in VMEM + pipeline slack;
-    # K is a power of two so the static 8-point inner group maps onto the
-    # copies evenly (point g of a group updates copy g % K)
-    k = (VMEM_BUDGET - 4 * BN * C * itemsize) // grid_bytes - 1
+    # K update copies; the output grid window is single-buffered and the
+    # input feature window double-buffered on top. K is a power of two so
+    # the static 8-point inner group maps onto the copies evenly (point g
+    # of a group updates copy g % K).
+    budget = (VMEM_TOTAL - SPILL_ALLOWANCE - grid_bytes
+              - 4 * BN * C * itemsize)
+    k = budget // grid_bytes
     k = int(max(0, min(MAX_COPIES, k)))
     return 1 << (k.bit_length() - 1) if k else 0
 
@@ -77,19 +88,27 @@ def _kernel(ids_ref, feat_ref, out_ref, acc, *, K: int, n_blocks: int,
     # with 0 — a no-op, the grid is non-negative). Point g of a group
     # updates copy g % K, so the serial read-max-write chains of the K
     # copies interleave and the VPU pipeline stays full.
+    #
+    # The select runs in f32 regardless of the data dtype: an i1 mask vector
+    # paired with a (16,128)-tiled bf16 operand hits an unsupported Mosaic
+    # relayout ("Invalid relayout ... vector<8x128xi1>: (8,128) -> (16,128)",
+    # the round-2 on-hardware regression); masking against the (8,128)-tiled
+    # f32 layout compiles, and the f32->bf16 cast after the select is cheap.
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
 
     def body(j, _):
         bp = pl.multiple_of(j * 8, 8)
         win_f = feat_ref[0, pl.ds(bp, 8), :]
         for g in range(8):
-            idx = ids_ref[0, j * 8 + g]
+            jj = j * 8 + g
+            idx = ids_ref[0, jj // 128, jj % 128]
             k = g % K
             base = pl.multiple_of((idx // 8) * 8, 8)
             off = idx - base
             win = acc[k, pl.ds(base, 8), :]
-            row = jnp.broadcast_to(win_f[g:g + 1, :], (8, C))
-            upd = jnp.where(sub == off, row, jnp.zeros((), acc.dtype))
+            row = jnp.broadcast_to(win_f[g:g + 1, :].astype(jnp.float32),
+                                   (8, C))
+            upd = jnp.where(sub == off, row, 0.0).astype(acc.dtype)
             acc[k, pl.ds(base, 8), :] = jnp.maximum(win, upd)
         return _
 
@@ -121,8 +140,14 @@ def scatter_max_vmem(feat: jax.Array, ids: jax.Array,
         pad = n_blocks * BN - N
         feat = jnp.pad(feat, ((0, 0), (0, pad), (0, 0)))
         ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=num_cells)
-    # sentinel/overflow ids all land inside the pad rows
-    ids = jnp.clip(ids, 0, cells_pad - 1)
+    # out-of-range ids (either sign) route to the sentinel row, matching the
+    # XLA FILL_OR_DROP contract — a clip would corrupt live cell 0 for
+    # negative ids; sentinel + pad rows are dropped by the final slice
+    ids = jnp.where((ids < 0) | (ids > num_cells), num_cells, ids)
+    # SMEM blocks must be (8, 128)-tile shaped for B > 1 (the last two dims
+    # of a partial block must be sublane/lane divisible), so the per-block
+    # 1024 ids ship as an 8 x 128 tile: id j lives at [j // 128, j % 128]
+    ids = ids.reshape(B, n_blocks * (BN // 128), 128)
 
     kernel = functools.partial(_kernel, K=K, n_blocks=n_blocks,
                                cells_pad=cells_pad, C=C)
@@ -130,7 +155,7 @@ def scatter_max_vmem(feat: jax.Array, ids: jax.Array,
         kernel,
         grid=(B, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, BN), lambda b, i: (b, i),
+            pl.BlockSpec((1, BN // 128, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, BN, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
@@ -140,7 +165,7 @@ def scatter_max_vmem(feat: jax.Array, ids: jax.Array,
         out_shape=jax.ShapeDtypeStruct((B, cells_pad, C), feat.dtype),
         scratch_shapes=[pltpu.VMEM((K, cells_pad, C), feat.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(VMEM_BUDGET * 1.2)),
+            vmem_limit_bytes=VMEM_TOTAL),
         interpret=interpret,
     )(ids, feat)
     return out[:, :num_cells]

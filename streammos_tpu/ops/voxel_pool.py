@@ -137,17 +137,35 @@ def _use_pallas(impl: str, total_cells: int) -> bool:
 
 def _use_vmem(impl: str, num_cells: int, C: int, itemsize: int,
               nonneg: bool) -> bool:
-    # VMEM-resident scatter (ops/pallas_scatter_vmem.py): wins whenever the
-    # whole grid fits in VMEM several times over — true for every cascade
-    # scatter of the folded eval frame (8k-64k cells x 128/256 ch). Gated to
-    # the TPU backend (tests and the CPU-mesh dryrun keep the XLA path).
-    if impl not in ("auto", "vmem") or not nonneg:
+    # VMEM-resident scatter (ops/pallas_scatter_vmem.py): OPT-IN ONLY.
+    # Measured on v5e (round 3, in-file _bench, bf16, all four in-model
+    # cascade shapes): the kernel LOSES to the XLA scatter everywhere —
+    # 0.61x (stage0_bev, K=2), 0.33x (stage0_rv, K=8), 0.85x (stage1_bev),
+    # 0.59x (stage1_rv). The masked-window RMW costs ~18-38 ns/update
+    # against XLA's ~11-17 ns/row at these grid sizes, and K-copy
+    # interleaving does not close the gap (the update is vector-work-bound:
+    # ~12 (8,128)-ops to modify one 8-row window). Round-2's default-on
+    # routing was based on an unmeasured claim; 'auto' now stays on XLA
+    # (docs/DESIGN.md "VMEM scatter ablation").
+    if impl != "vmem":
         return False
+    if not nonneg:
+        raise ValueError(
+            "impl='vmem' requires nonneg=True (the kernel zero-inits "
+            "its grid copies)")
     from streammos_tpu.ops import pallas_scatter_vmem
 
     if not pallas_scatter_vmem.fits_vmem(num_cells, C, itemsize):
-        return False
-    return jax.default_backend() == "tpu"
+        raise ValueError(
+            f"impl='vmem' rejected: grid ({num_cells} cells x {C} ch, "
+            f"itemsize {itemsize}) fails fits_vmem — needs C % 128 == 0 "
+            "and >=2 grid copies inside the VMEM budget")
+    if jax.default_backend() != "tpu":
+        raise ValueError(
+            "impl='vmem' rejected: the VMEM-resident kernel only runs "
+            "on the TPU backend (interpret-mode tests should call "
+            "scatter_max_vmem directly)")
+    return True
 
 
 def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
@@ -199,13 +217,6 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
     return out, (feat, flat, valid, out)
 
 
-def _fwd(feat, inds, out_size, scale_rate, impl, nonneg, phase_split,
-         row_pad):
-    out, res = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg,
-                         phase_split, row_pad)
-    return out, res
-
-
 def _bwd(out_size, scale_rate, impl, nonneg, phase_split, row_pad, res, g):
     feat, flat, valid, out = res
     B, N, C = feat.shape
@@ -221,7 +232,7 @@ def _bwd(out_size, scale_rate, impl, nonneg, phase_split, row_pad, res, g):
     return grad_feat.astype(feat.dtype), None
 
 
-voxel_max_pool.defvjp(_fwd, _bwd)
+voxel_max_pool.defvjp(_fwd_impl, _bwd)
 
 
 def voxel_max_pool_ref(feat: np.ndarray, inds: np.ndarray,

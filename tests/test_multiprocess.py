@@ -54,6 +54,49 @@ total = jax.jit(lambda x: x.sum())(gb)
 expect = float(data.sum())
 assert abs(float(total) - expect) < 1e-6, (float(total), expect)
 print("OK", pid, float(total), flush=True)
+
+# --- full train step over the 2-process mesh (train_StreamMOS.py:128-150
+# parity: DDP forward/backward across real process boundaries) ---
+from streammos_tpu.config import get_config
+from streammos_tpu.models import init_model
+from streammos_tpu.train import (build_optimizer, create_train_state,
+                                 make_train_step)
+
+cfg = get_config("StreamMOS_tiny")
+B, S, N = 2, 3, 256
+# identical init in both processes (same key, deterministic CPU init)
+model, variables = init_model(jax.random.key(0), cfg.model, batch=B,
+                              num_points=N)
+tx, _ = build_optimizer(cfg.optimize, per_epoch_iters=10)
+step = make_train_step(model, cfg, tx, donate=False)
+
+rng_np = np.random.default_rng(7)
+windows_np = {
+    "xyzi": rng_np.uniform(-18, 18, (S, B, cfg.model.seq_num, N, 4)
+                           ).astype(np.float32),
+    "targets": rng_np.integers(0, 3, (S, B, N)).astype(np.int32),
+}
+rngkey = jax.random.key(42)
+
+# global-mesh step: this process contributes batch row [pid]
+local = {k: v[:, pid:pid + 1] for k, v in windows_np.items()}
+state = parallel.replicate_state(mesh, create_train_state(variables, tx))
+gwin = parallel.host_local_to_global(mesh, local, axis=1)
+new_state, metrics = step(state, gwin, rngkey)
+loss_mesh = float(metrics["loss"])
+print("LOSS", pid, repr(loss_mesh), flush=True)
+
+if pid == 0:
+    # single-device reference: the SAME global batch, unsharded, on this
+    # process's one local device — the 2-process mesh step must agree
+    state1 = create_train_state(variables, tx)
+    _, metrics1 = step(state1, {k: jnp.asarray(v)
+                                for k, v in windows_np.items()}, rngkey)
+    loss1 = float(metrics1["loss"])
+    print("LOSS1", repr(loss1), flush=True)
+    assert abs(loss_mesh - loss1) <= 2e-4 * max(abs(loss1), 1.0), (
+        loss_mesh, loss1)
+print("STEP_OK", pid, flush=True)
 """
 
 

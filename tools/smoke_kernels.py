@@ -1,0 +1,183 @@
+"""Compiled-on-backend smoke gate for every Pallas kernel.
+
+Round-2 postmortem: a kernel that passes its interpret-mode tests can still
+fail Mosaic compilation on the real chip (the bf16 i1-relayout regression in
+`ops/pallas_scatter_vmem.py` shipped exactly that way and broke the default
+eval path — VERDICT r2 item 1/2). This tool is the missing process gate:
+it pallas-compiles and RUNS every kernel on the default backend, at BOTH
+production dtypes (bfloat16 and float32), at small-but-constraint-respecting
+shapes, and asserts parity against the slow XLA reference formulations.
+
+Policy (recorded in .claude/skills/verify/SKILL.md): no commit touching
+`streammos_tpu/ops/` lands without a passing `python tools/smoke_kernels.py`
+run on the TPU backend.
+
+Reference discipline being mirrored: the CUDA reference ran its kernels on
+device before shipping (`/root/reference/deformattn/test.py:31-87`).
+
+Exit code 0 = all kernels compiled, ran, and matched. Runs in ~1 min warm
+(each case is one compile + one tiny execution over the axon tunnel).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _report(name, ok, dt, detail=""):
+    status = "ok" if ok else "FAIL"
+    print(f"  {name:44s} {status}  ({dt:5.1f}s) {detail}", flush=True)
+    return ok
+
+
+def smoke_scatter_vmem(dtype) -> bool:
+    """VMEM-resident cascade scatter vs jax.ops.segment_max."""
+    from streammos_tpu.ops.pallas_scatter_vmem import scatter_max_vmem
+
+    t0 = time.time()
+    rng = np.random.default_rng(0)
+    B, N, C, cells = 2, 3000, 128, 4096  # pad path + non-8-aligned-ish mix
+    feat = jnp.asarray(rng.uniform(0, 4, (B, N, C)).astype(np.float32)
+                       ).astype(dtype)
+    # heavy collisions, sentinel ids, and a few negatives (must be dropped)
+    ids = rng.integers(-2, cells + 1, (B, N)).astype(np.int32)
+    ids = jnp.asarray(ids)
+    out = scatter_max_vmem(feat, ids, cells)
+    ref = jax.vmap(lambda f, i: jax.ops.segment_max(
+        f, jnp.where(i < 0, cells, i), num_segments=cells + 1)[:cells]
+    )(feat, ids)
+    ref = jnp.where(jnp.isfinite(ref.astype(jnp.float32)), ref,
+                    jnp.zeros((), dtype))
+    ok = bool(jnp.array_equal(out, ref))
+    return _report(f"scatter_max_vmem[{dtype.__name__}]", ok,
+                   time.time() - t0)
+
+
+def smoke_scatter_vmem_big(dtype) -> bool:
+    """The LARGEST in-model cascade shape (stage-0 BEV: 65536 cells x 128
+    ch at 160k points). Small-shape smoke is not enough: this exact shape
+    OOM'd VMEM in round 3 (K-copy budget ignored the output window +
+    register spill slots) while 4096-cell smoke passed."""
+    from streammos_tpu.ops.pallas_scatter_vmem import (fits_vmem,
+                                                       scatter_max_vmem)
+
+    t0 = time.time()
+    if not fits_vmem(65536, 128, dtype(0).itemsize):
+        # the gate may legitimately reject the 2x-wider f32 grid (auto then
+        # takes the XLA path); rejecting the bf16 model shape is a failure
+        ok = dtype != jnp.bfloat16
+        return _report(f"scatter_max_vmem-big[{dtype.__name__}]", ok,
+                       time.time() - t0, "fits_vmem rejected (XLA fallback)")
+    rng = np.random.default_rng(7)
+    B, N, C, cells = 1, 160000, 128, 65536
+    feat = jnp.asarray(rng.uniform(0, 4, (B, N, C)).astype(np.float32)
+                       ).astype(dtype)
+    ids = jnp.asarray(rng.integers(0, cells + 1, (B, N)).astype(np.int32))
+    out = scatter_max_vmem(feat, ids, cells)
+    ref = jax.ops.segment_max(feat[0], ids[0], num_segments=cells + 1)[:cells]
+    ref = jnp.where(jnp.isfinite(ref.astype(jnp.float32)), ref,
+                    jnp.zeros((), dtype))
+    ok = bool(jnp.array_equal(out[0], ref))
+    return _report(f"scatter_max_vmem-big[{dtype.__name__}]", ok,
+                   time.time() - t0)
+
+
+def smoke_scatter_sorted(dtype) -> bool:
+    """Sorted-tile scatter kernel vs segment_max (opt-in kernel, still
+    gated here so a Mosaic break is caught when it happens, not at the
+    next ablation)."""
+    from streammos_tpu.ops.pallas_scatter import scatter_max_pallas
+
+    t0 = time.time()
+    rng = np.random.default_rng(1)
+    R, C, cells = 8192, 64, 2048  # TILE_CELLS-multiple cell count
+    feat = jnp.asarray(rng.uniform(0, 4, (R, C)).astype(np.float32)
+                       ).astype(dtype)
+    ids = jnp.asarray(rng.integers(0, cells + 1, (R,)).astype(np.int32))
+    out = scatter_max_pallas(feat, ids, cells)
+    ref = jax.ops.segment_max(feat, ids, num_segments=cells + 1)[:cells]
+    ref = jnp.where(jnp.isfinite(ref.astype(jnp.float32)), ref,
+                    jnp.zeros((), dtype))
+    ok = bool(jnp.array_equal(out, ref))
+    return _report(f"scatter_max_pallas[{dtype.__name__}]", ok,
+                   time.time() - t0)
+
+
+def smoke_fused_header(dtype) -> bool:
+    """Fused TTA header kernel vs the XLA reference composition."""
+    from streammos_tpu.ops.fused_header import (fused_header_reference,
+                                                fused_header_tta)
+
+    t0 = time.time()
+    rng = np.random.RandomState(2)
+    # production channel widths (the compiled kernel's DMA slices require a
+    # 128-lane variant-pair block: PAIR*C == 128); small spatial extent
+    T, C, Cout, Bt, Hh, Wh = 3, 64, 32, 1, 16, 128
+    g = rng.randn(Bt * T, Hh + 2, Wh, 4, 4 * C).astype(np.float32)
+    g[:, 0] = 0.0
+    g[:, -1] = 0.0
+    g = jnp.asarray(g).astype(dtype)
+    k3 = jnp.asarray(rng.randn(3, 3, T * C, Cout).astype(np.float32) * 0.1)
+    k1 = jnp.asarray(rng.randn(1, 1, T * C, Cout).astype(np.float32) * 0.1)
+    ca = (jnp.asarray(rng.uniform(0.5, 1.5, Cout).astype(np.float32)),
+          jnp.asarray(rng.randn(Cout).astype(np.float32) * 0.1))
+    pa = (jnp.asarray(rng.uniform(-1.5, 1.5, Cout).astype(np.float32)),
+          jnp.asarray(rng.randn(Cout).astype(np.float32) * 0.1))
+    out = np.asarray(fused_header_tta(g, k3, k1, ca, pa, T)
+                     .astype(jnp.float32))
+    ref = np.asarray(fused_header_reference(g, k3, k1, ca, pa, T)
+                     .astype(jnp.float32))
+    tol = 1e-4 if dtype == jnp.float32 else 3e-2
+    ok = bool(np.allclose(out, ref, rtol=tol, atol=tol))
+    detail = "" if ok else f"max|d|={np.abs(out - ref).max():.4f}"
+    return _report(f"fused_header_tta[{dtype.__name__}]", ok,
+                   time.time() - t0, detail)
+
+
+def smoke_model_scatter_path(dtype) -> bool:
+    """voxel_max_pool 'auto' on the default backend — whatever impl the
+    gate picks must compile and match the plain XLA impl. This is the
+    call signature the model actually uses (cascade shape, nonneg)."""
+    from streammos_tpu.ops.voxel_pool import voxel_max_pool
+
+    t0 = time.time()
+    rng = np.random.default_rng(3)
+    B, N, C = 2, 3000, 128
+    feat = jnp.asarray(rng.uniform(0, 4, (B, N, C)).astype(np.float32)
+                       ).astype(dtype)
+    inds = jnp.asarray(rng.uniform(-5, 70, (B, N, 2)).astype(np.float32))
+    auto = voxel_max_pool(feat, inds, (64, 64), (1.0, 1.0), "auto", True)
+    ref = voxel_max_pool(feat, inds, (64, 64), (1.0, 1.0), "xla", True)
+    ok = bool(jnp.array_equal(auto, ref))
+    return _report(f"voxel_max_pool-auto[{dtype.__name__}]", ok,
+                   time.time() - t0)
+
+
+def main() -> int:
+    backend = jax.default_backend()
+    print(f"kernel smoke gate — backend={backend}, "
+          f"devices={jax.devices()}", flush=True)
+    if backend != "tpu":
+        print("  WARNING: not running on TPU — Mosaic compilation is NOT "
+              "being exercised; this run does not satisfy the ops/ gate.",
+              flush=True)
+    ok = True
+    for dtype in (jnp.bfloat16, jnp.float32):
+        ok &= smoke_scatter_vmem(dtype)
+        ok &= smoke_scatter_vmem_big(dtype)
+        ok &= smoke_scatter_sorted(dtype)
+        ok &= smoke_fused_header(dtype)
+        ok &= smoke_model_scatter_path(dtype)
+    print("ALL KERNELS PASS" if ok else "KERNEL SMOKE FAILURES", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
