@@ -1,13 +1,21 @@
-"""Headline benchmark: streaming MOS inference frames/s per chip.
+"""Headline benchmark: streaming MOS inference frames/s per chip, plus
+training throughput — the two halves of the reference's production recipe
+(`val_StreamMOS.py:80-126` eval protocol; `config/StreamMOS.py:80-95`
+48-epoch training).
 
-Measures the reference's eval configuration (`val_StreamMOS.py:80-126`):
-batch 1 streaming with TTA x4 riding the batch axis, short-term memory
-carried on-device across frames, full production shapes (160k points eval
-padding, T=3, BEV 512x512, RV 64x2048), featurization in-graph.
+Prints one JSON line per metric; the LAST line is the headline streaming
+fps (the driver's parsed artifact):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is frames/s relative to the 10 Hz LiDAR scan rate (the
-real-time bar — the reference never measured FPS; BASELINE.md).
+  {"metric": "train_step_seconds", ...}
+  {"metric": "host_pipeline_seconds_per_sample", ...}
+  {"metric": "streaming_inference_fps_per_chip_uniform_bank", ...}
+  {"metric": "streaming_inference_fps_per_chip", ...}   <- headline
+
+The headline fps is measured on a RANGE-SKEWED synthetic scan bank
+(LiDAR-like: point density falls off with range, so near-range cells take
+many points each — the collision pattern that stresses the scatter path),
+not the uniform cube of rounds 1-2; the uniform number is kept one line
+above so the bank delta stays visible.
 
 Measurement notes (this environment routes the TPU through an RPC tunnel):
 * `block_until_ready` returns before remote execution completes, so timing
@@ -25,29 +33,47 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from streammos_tpu.config import get_config
-    from streammos_tpu.models import init_model, memory_shape
+def _rtt(jax, jnp):
+    trivial = jax.jit(lambda x: x.sum())
+    z = jnp.zeros((8, 8))
+    float(trivial(z))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(z))
+        rtts.append(time.perf_counter() - t0)
+    return float(np.median(rtts))
+
+
+def skewed_scan_bank(rng, bank, T, N):
+    """LiDAR-like range-skewed scans: 64 beams over the RV elevation range,
+    uniform azimuth, range drawn from a near-heavy mixture clipped to the
+    BEV extent. Near-range BEV cells collect hundreds of points (real
+    SemanticKITTI scans put ~40% of returns within 12 m), which is the
+    scatter collision pattern the uniform cube never produces."""
+    shape = (bank, 1, T, N)
+    az = rng.uniform(-np.pi, np.pi, shape)
+    elev = np.deg2rad(rng.uniform(-25.0, 3.0, shape))
+    r = np.minimum(2.5 + rng.exponential(9.0, shape), 69.0)
+    # ~8% of points beyond the +-50 m crop (mirrors the val filter's
+    # out-of-range tail that lands in the sentinel cell)
+    far = rng.uniform(0, 1, shape) < 0.04
+    r = np.where(far, rng.uniform(55.0, 80.0, shape), r)
+    x = r * np.cos(elev) * np.cos(az)
+    y = r * np.cos(elev) * np.sin(az)
+    z = np.clip(r * np.sin(elev), -3.9, 1.9) + rng.normal(0, 0.05, shape)
+    i = rng.uniform(0, 1, shape)
+    return np.stack([x, y, z, i], axis=-1).astype(np.float32)
+
+
+def measure_stream(jax, jnp, model, variables, m, bank_np, F=16):
+    from streammos_tpu.models import memory_shape
     from streammos_tpu.models.stream_mos import (featurize, stage_forward,
                                                  tta_expand_folded)
 
-    cfg = get_config("StreamMOS")
-    m = cfg.model
-    N = cfg.val.frame_point_num  # 160000
-    TTA, T = 4, m.seq_num
-    BANK, F = 4, 16  # distinct input frames; streamed steps per measurement
-
-    # tta_fold: the 4 flip variants share one scatter/gather index structure
-    # (ops/tta_fold.py), so the TTA fan rides the channel axis of the
-    # row-count-bound ops instead of quadrupling their rows.
-    model, variables = init_model(jax.random.key(0), m, batch=TTA,
-                                  num_points=N, tta_fold=True)
-
-    rng = np.random.default_rng(0)
-    xyzi_bank = jnp.asarray(
-        rng.uniform(-50, 50, size=(BANK, 1, T, N, 4)).astype(np.float32))
+    TTA = 4
+    BANK = bank_np.shape[0]
+    bank = jnp.asarray(bank_np)
 
     @jax.jit
     def stream(variables, bank, memory):
@@ -55,7 +81,6 @@ def main():
             batch = featurize(tta_expand_folded(bank[t % BANK]), m)
             out, _ = stage_forward(model, variables, batch, mem,
                                    jnp.asarray(True), train=False)
-            # folded pred (Bt, N, V, C): softmax over classes, mean over TTA
             scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=-2)
             return out["memory"], scores.sum()
 
@@ -63,34 +88,169 @@ def main():
         return sums.sum(), mem
 
     memory = jnp.zeros(memory_shape(m, TTA), jnp.float32)
-    # compile + warm
-    s, memory = stream(variables, xyzi_bank, memory)
+    s, memory = stream(variables, bank, memory)  # compile + warm
     float(s)
-
-    # tunnel round-trip cost (scalar fetch of a trivial computation)
-    trivial = jax.jit(lambda x: x.sum())
-    float(trivial(memory))
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(trivial(memory))
-        rtts.append(time.perf_counter() - t0)
-    rtt = float(np.median(rtts))
-
+    rtt = _rtt(jax, jnp)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        s, memory = stream(variables, xyzi_bank, memory)
-        float(s)  # force full materialization of the chained stream
+        s, memory = stream(variables, bank, memory)
+        float(s)
         times.append(time.perf_counter() - t0)
     total = float(np.median(times))
     per_frame = max(total - rtt, 1e-9) / F
-    fps = 1.0 / per_frame
+    return 1.0 / per_frame
 
+
+def bench_train_step(jax, jnp, cfg):
+    """Full jitted stage-1 step (3-window streaming BPTT, OHEM + Lovasz +
+    3 aux heads, in-graph BEV label rasterization, SGD-nesterov), per-chip
+    batch 1 at 130k points — the training half of the reference recipe."""
+    from streammos_tpu.models import init_model
+    from streammos_tpu.train import (build_optimizer, create_train_state,
+                                     make_train_step)
+
+    B, S, T, N = 1, 3, cfg.model.seq_num, cfg.train.frame_point_num
+    model, variables = init_model(jax.random.key(0), cfg.model, batch=B,
+                                  num_points=N)
+    tx, _ = build_optimizer(cfg.optimize, per_epoch_iters=100)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, cfg, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    windows = {
+        "xyzi": jnp.asarray(
+            rng.uniform(-50, 50, size=(S, B, T, N, 4)).astype(np.float32)),
+        "targets": jnp.asarray(
+            rng.integers(0, 3, size=(S, B, N)).astype(np.int32)),
+    }
+    key = jax.random.key(1)
+    state, metrics = step(state, windows, key)
+    float(metrics["loss"])
+    rtt = _rtt(jax, jnp)
+    iters = 4
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, windows, sub)
+    float(metrics["loss"])
+    return (time.perf_counter() - t0 - rtt) / iters
+
+
+def bench_host_pipeline():
+    """Host input-pipeline cost (file IO + window build + copy-paste aug +
+    resample) per training sample on a small synthetic on-disk sequence —
+    the other half of train throughput (`tools/bench_pipeline.py` measures
+    the production-size variant)."""
+    import dataclasses
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from synthetic_kitti import make_sequence
+
+    from streammos_tpu.config import get_config
+    from streammos_tpu.data.dataset import TrainDataset
+
+    with tempfile.TemporaryDirectory() as root:
+        make_sequence(root, "00", n_frames=8, n_points=20000)
+        cfg = dataclasses.replace(get_config("StreamMOS").train,
+                                  seq_dir=root, frame_point_num=20000,
+                                  drop_few_static_frames=False)
+        ds = TrainDataset(cfg, seq_ids=[0], seed=0)
+        ds[0]  # warm (pose parse, page cache)
+        n = min(4, len(ds))
+        t0 = time.perf_counter()
+        for k in range(n):
+            ds[k]
+        return (time.perf_counter() - t0) / n
+
+
+def main():
+    import jax
+
+    # persistent compilation cache: the production graphs cost 5-10 min of
+    # tunnel compiles each; cached re-runs complete in ~2 min
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    from streammos_tpu.config import get_config
+    from streammos_tpu.models import init_model
+
+    import sys
+
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    cfg = get_config("StreamMOS")
+    m = cfg.model
+    N = cfg.val.frame_point_num  # 160000
+    T = m.seq_num
+    BANK = 4
+
+    try:
+        note("train step: compiling...")
+        dt = bench_train_step(jax, jnp, cfg)
+        print(json.dumps({
+            "metric": "train_step_seconds",
+            "value": round(dt, 4),
+            "unit": "s/step (stage1, bs1/chip, 130k pts, 3-window BPTT)",
+            "vs_baseline": None,
+        }), flush=True)
+    except Exception as e:  # keep the headline alive
+        print(json.dumps({"metric": "train_step_seconds",
+                          "error": str(e)[:200]}), flush=True)
+
+    try:
+        note("host pipeline...")
+        sps = bench_host_pipeline()
+        print(json.dumps({
+            "metric": "host_pipeline_seconds_per_sample",
+            "value": round(sps, 4),
+            "unit": "s/sample (synthetic 20k-pt seq, tiny config, 1 proc)",
+            "vs_baseline": None,
+        }), flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "host_pipeline_seconds_per_sample",
+                          "error": str(e)[:200]}), flush=True)
+
+    # tta_fold: the 4 flip variants share one scatter/gather index structure
+    # (ops/tta_fold.py), so the TTA fan rides the channel axis of the
+    # row-count-bound ops instead of quadrupling their rows.
+    model, variables = init_model(jax.random.key(0), m, batch=4,
+                                  num_points=N, tta_fold=True)
+    rng = np.random.default_rng(0)
+
+    try:
+        note("streaming eval: compiling...")
+        uniform = rng.uniform(
+            -50, 50, size=(BANK, 1, T, N, 4)).astype(np.float32)
+        fps_u = measure_stream(jax, jnp, model, variables, m, uniform)
+        print(json.dumps({
+            "metric": "streaming_inference_fps_per_chip_uniform_bank",
+            "value": round(fps_u, 3),
+            "unit": "frames/s (uniform-cube bank; rounds 1-2 protocol)",
+            "vs_baseline": round(fps_u / 10.0, 3),
+        }), flush=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "streaming_inference_fps_per_chip_uniform_bank",
+            "error": str(e)[:200]}), flush=True)
+
+    fps = measure_stream(jax, jnp, model, variables, m,
+                         skewed_scan_bank(rng, BANK, T, N))
     print(json.dumps({
         "metric": "streaming_inference_fps_per_chip",
         "value": round(fps, 3),
-        "unit": "frames/s (bs1, TTAx4, 160k pts, T=3, in-graph featurize)",
+        "unit": "frames/s (bs1, TTAx4, 160k pts, T=3, in-graph featurize, "
+                "range-skewed LiDAR-like bank)",
         # the reference never measured FPS and no CUDA GPU exists in this
         # environment, so the denominator is the 10 Hz LiDAR scan rate
         # (real-time bar), NOT a measured reference throughput
