@@ -69,7 +69,8 @@ def skewed_scan_bank(rng, bank, T, N):
 def measure_stream(jax, jnp, model, variables, m, bank_np, F=16):
     from streammos_tpu.models import memory_shape
     from streammos_tpu.models.stream_mos import (featurize, stage_forward,
-                                                 tta_expand_folded)
+                                                 tta_expand_folded,
+                                                 tta_scores)
 
     TTA = 4
     BANK = bank_np.shape[0]
@@ -81,7 +82,7 @@ def measure_stream(jax, jnp, model, variables, m, bank_np, F=16):
             batch = featurize(tta_expand_folded(bank[t % BANK]), m)
             out, _ = stage_forward(model, variables, batch, mem,
                                    jnp.asarray(True), train=False)
-            scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=-2)
+            scores = tta_scores(out["pred_folded"], m.class_num)
             return out["memory"], scores.sum()
 
         mem, sums = jax.lax.scan(body, memory, jnp.arange(F))

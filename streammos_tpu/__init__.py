@@ -14,3 +14,26 @@ system, and data parallelism via `jax.sharding` meshes.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist compiled executables under the repo (production graphs cost
+    5-10 min of compiles on a tunneled TPU; cached re-runs take seconds).
+    Safe no-op if jax is already initialized past the config point."""
+    import os
+
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "STREAMMOS_JAX_CACHE",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        if cache and cache != "0":
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -80,6 +80,24 @@ def tta_expand(xyzi: jax.Array) -> jax.Array:
     return jnp.concatenate(outs, axis=0)
 
 
+def tta_scores(pred_folded: jax.Array, class_num: int,
+               v: int = 4) -> jax.Array:
+    """TTA-mean class scores from FOLDED logits (Bt, N, V*classes):
+    softmax over classes per variant, mean over variants — the reference's
+    `val_StreamMOS.py:97-98` reduction.
+
+    Computed with N on the LANE axis: reducing over the narrow trailing
+    (V, classes) dims directly makes XLA pick (2,128)-tiled layouts whose
+    elementwise/reduce chain costs ~10 ms/frame at 160k points (round-3
+    trace); two tiny (N x 12)-sized transposes around lane-major compute
+    bring it to noise level. Returns (Bt, N, classes) float32."""
+    bt, n, vc = pred_folded.shape
+    assert vc == v * class_num, (vc, v, class_num)
+    x = pred_folded.transpose(0, 2, 1).reshape(bt, v, class_num, n)
+    s = jax.nn.softmax(x, axis=2).mean(axis=1)  # lane-major (N on lanes)
+    return s.transpose(0, 2, 1)
+
+
 def tta_expand_folded(xyzi: jax.Array) -> jax.Array:
     """(B, T, N, 4) -> (B, T, N, 4, 4): the same four flip variants stacked
     on a MINOR axis — the layout `StreamMOSNet(tta_fold=True)` consumes
@@ -96,6 +114,7 @@ class RefineBranch(nn.Module):
     (StreamMOS_seg.py:21-30)."""
 
     cfg: ModelConfig
+    fold: int = 1
 
     @nn.compact
     def __call__(self, feats, train: bool):
@@ -103,9 +122,9 @@ class RefineBranch(nn.Module):
         x = make_fusion(self.cfg.fusion_mode,
                         self.cfg.point_feat_out_channels,
                         self.cfg.dropout_rate, dt,
-                        name="bf_point_post")(feats, train)
+                        name="bf_point_post", fold=self.fold)(feats, train)
         return PredBranch(self.cfg.class_num, self.cfg.dropout_rate, dtype=dt,
-                          name="bf_pred_layer")(x, train)
+                          fold=self.fold, name="bf_pred_layer")(x, train)
 
 
 class StreamMOSNet(nn.Module):
@@ -142,13 +161,21 @@ class StreamMOSNet(nn.Module):
             B, T, N, C = points.shape
 
         # point-wise MLP over all T frames at once (StreamMOS.py:101); in
-        # folded mode V is just another broadcast axis for the per-point MLP
+        # folded mode the variants ride the lane axis END TO END: the MLP
+        # applies its shared weights per v-major lane block (FoldedDense /
+        # folded BN), so the (N, V, C) <-> (N, V*C) relayout copies that a
+        # dims-based fold pays (~2.7 ms/frame at the scatter boundary,
+        # round-3 trace) never exist.
         if self.tta_fold:
-            pts = points.reshape(Bt * T, N, V, C).astype(dt)
+            pts = points.reshape(Bt * T, N, V * C).astype(dt)
+            point_feat = PointNetStacker(c0, pre_bn=True, stack_num=2,
+                                         dtype=dt, fold=V,
+                                         name="point_pre")(pts, train)
         else:
             pts = points.reshape(B * T, N, C).astype(dt)
-        point_feat = PointNetStacker(c0, pre_bn=True, stack_num=2, dtype=dt,
-                                     name="point_pre")(pts, train)
+            point_feat = PointNetStacker(c0, pre_bn=True, stack_num=2,
+                                         dtype=dt, name="point_pre")(pts,
+                                                                     train)
 
         # scatter every frame into the full BEV grid, then stack frames along
         # channels, frame-major (StreamMOS.py:102-103). The frame stack stays
@@ -166,12 +193,14 @@ class StreamMOSNet(nn.Module):
                 # fused Pallas header: scatter straight into the phase-split
                 # half-res layout (free cell-id relabel); the header kernel
                 # consumes it canonically and re-expands to (V*Bt, ...)
-                # without ever materializing the 512^2 grid
-                folded = point_feat.reshape(Bt * T, N, V * c0)
+                # without ever materializing the 512^2 grid. point_feat is
+                # ALREADY the folded (Bt*T, N, V*c0) lane layout.
                 # row_pad=1: one empty half-res row above/below so the
-                # header kernel's halo windows are single static DMAs
-                bev = voxel_max_pool(folded, coords0[..., :2], (H, W),
-                                     (1.0, 1.0), "auto", True, True, 1)
+                # header kernel's halo windows are single static DMAs;
+                # phase-outer: the scatter's flat output IS the header's
+                # (BtT, P, Hp, Wh, V*C) DMA layout (no retile)
+                bev = voxel_max_pool(point_feat, coords0[..., :2], (H, W),
+                                     (1.0, 1.0), "auto", True, "outer", 1)
                 header_phase_T = T
             else:
                 # point features are post-ReLU -> zero-fill scatter fast path
@@ -195,33 +224,49 @@ class StreamMOSNet(nn.Module):
              bev, cur_bev, cur_rv, memory, use_memory, train,
              header_phase_T)
 
+        fold = V if self.tta_fold else 1
         if self.tta_fold:
             point_bev_feat = grid_to_point_tta(
                 bev_feat.reshape(4, Bt, *bev_feat.shape[1:]), cur_bev,
-                cfg.grid2point_scale, "bev")  # (Bt, N, V, C)
-            point_feat_cur = point_feat.reshape(Bt, T, N, V, c0)[:, 0]
+                cfg.grid2point_scale, "bev")  # (Bt, N, V*C) folded lanes
+            point_feat_cur = point_feat.reshape(Bt, T, N, V * c0)[:, 0]
         else:
             point_bev_feat = grid_to_point(bev_feat, cur_bev,
                                            cfg.grid2point_scale)
             point_feat_cur = point_feat.reshape(B, T, N, c0)[:, 0]
 
         fused = make_fusion(cfg.fusion_mode, cfg.point_feat_out_channels,
-                            cfg.dropout_rate, dt, name="point_post")(
+                            cfg.dropout_rate, dt, name="point_post",
+                            fold=fold)(
                                 [point_feat_cur, point_bev_feat, point_feat_1],
                                 train)
         pred = PredBranch(cfg.class_num, cfg.dropout_rate, dtype=dt,
-                          name="pred_layer")(fused, train)
+                          fold=fold, name="pred_layer")(fused, train)
 
-        out = {
+        out = {}
+        if self.tta_fold:
+            # the folded (Bt, N, V*classes) logits are the layout eval
+            # consumers should reduce from (`tta_scores`); the unfolded
+            # "pred" view is kept for the output contract and is dead code
+            # (free) when only the scores are consumed — reducing over the
+            # narrow (N, V, 3) dims directly cost ~10 ms/frame in XLA's
+            # chosen layouts (round-3 trace)
+            out["pred_folded"] = pred.astype(jnp.float32)
+            pred = pred.reshape(Bt, N, V, cfg.class_num)
+
+        out.update({
             "pred": pred.astype(jnp.float32),
             "aux0": aux0.astype(jnp.float32),
             "aux1": aux1.astype(jnp.float32),
             "aux2": aux2.astype(jnp.float32),
             "memory": new_memory,
-        }
+        })
         if self.with_refine:
-            bf = RefineBranch(cfg, name="refine")(
+            bf = RefineBranch(cfg, fold=fold, name="refine")(
                 [point_feat_cur, point_bev_feat, point_feat_1], train)
+            if self.tta_fold:
+                out["bf_pred_folded"] = bf.astype(jnp.float32)
+                bf = bf.reshape(Bt, N, V, cfg.class_num)
             out["bf_pred"] = bf.astype(jnp.float32)
         return out
 

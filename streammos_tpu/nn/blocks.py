@@ -32,6 +32,40 @@ from streammos_tpu.ops import grid_to_point
 Dtype = Any
 
 
+class FoldedBatchNorm(nn.Module):
+    """Eval-only stand-in for `nn.BatchNorm` over TTA-FOLDED lanes.
+
+    The folded eval layout carries the 4 TTA variants side by side on the
+    channel axis (x: (..., N, fold*C)); reference semantics put the variants
+    on the batch axis, so every variant must normalize with the SAME (C,)
+    statistics. This module declares variables byte-identical to
+    `nn.BatchNorm` (params scale/bias, batch_stats mean/var, all (C,)) —
+    checkpoints are interchangeable with the unfolded path — and applies
+    them tiled across the fold, replicating flax's eval arithmetic exactly
+    (tile first, then cast to the compute dtype, then
+    (x - mean) * rsqrt(var + eps) * scale + bias)."""
+
+    fold: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1] // self.fold
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((C,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((C,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        dt = jnp.dtype(self.dtype)
+        m = jnp.tile(mean.value, self.fold).astype(dt)
+        v = jnp.tile(var.value, self.fold).astype(dt)
+        s = jnp.tile(scale, self.fold).astype(dt)
+        b = jnp.tile(bias, self.fold).astype(dt)
+        return (x.astype(dt) - m) * jax.lax.rsqrt(v + jnp.asarray(
+            1e-5, dt)) * s + b
+
+
 class BN(nn.Module):
     """BatchNorm with torch-parity defaults; float32 statistics.
 
@@ -40,16 +74,74 @@ class BN(nn.Module):
     running stats, so it runs in the compute dtype — casting every activation
     to f32 and back costs two full-tensor copies per BN at the memory-bound
     copy speed this chip sustains, for no accuracy the bf16 convs around it
-    could use."""
+    could use.
+
+    ``fold > 1`` (eval-only): the input carries fold TTA variants on the
+    channel axis; the shared (C,) statistics apply per lane block."""
 
     dtype: Dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.fold > 1:
+            assert not train, "folded BN is an eval-only layout"
+            return FoldedBatchNorm(self.fold, self.dtype,
+                                   name="BatchNorm_0")(x)
         comp = jnp.float32 if train else jnp.dtype(self.dtype)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=comp)(x.astype(comp))
         return y.astype(self.dtype)
+
+
+class FoldedDense(nn.Module):
+    """Eval-only stand-in for `nn.Dense` over TTA-FOLDED lanes.
+
+    Declares the same (in_features, features) kernel as `nn.Dense` and
+    applies it per variant block as ONE dense matmul against the
+    block-diagonal expansion of the shared weight: variant v's lane block
+    [v*C_in, (v+1)*C_in) maps through the SAME matrix to lane block
+    [v*C_out, (v+1)*C_out), with zero data-layout movement. The off-block
+    zeros cost fold x FLOPs on matmuls that are tiny next to the layout
+    copies they remove (measured round 3: a feature_group_count grouped
+    conv lowers to (…, V, C)-split layouts + ~6 ms of copies at production
+    shapes — the dense block-diagonal form keeps the flat lane layout).
+
+    Takes a LIST of folded inputs: a per-variant channel concat across
+    sources (the reference CatFusion input) equals the SUM of per-source
+    matmuls with the matching kernel ROW slice, so the folded path never
+    materializes the variant-interleaved concat."""
+
+    features: int      # unfolded output width
+    in_features: int   # unfolded total input width (sum over sources)
+    fold: int
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jax.Array]):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        dt = jnp.dtype(self.dtype)
+        out = None
+        row = 0
+        for x in xs:
+            x = x.astype(dt)
+            cin = x.shape[-1] // self.fold
+            k = kernel[row:row + cin].astype(dt)
+            row += cin
+            bd = jnp.zeros((self.fold * cin, self.fold * self.features), dt)
+            for v in range(self.fold):
+                bd = bd.at[v * cin:(v + 1) * cin,
+                           v * self.features:(v + 1) * self.features].set(k)
+            y = jnp.einsum("...c,cd->...d", x, bd)
+            out = y if out is None else out + y
+        assert row == self.in_features, (row, self.in_features)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + jnp.tile(bias, self.fold).astype(dt)
+        return out
 
 
 def conv3x3(out_planes: int, stride: int = 1, dilation: int = 1,
@@ -210,8 +302,8 @@ class DownSample2D(nn.Module):
 
 
     def _tta_phase_fused(self, g_phase, k3, k1, T: int, train: bool):
-        """Fused TTA header (eval only): phase-split scatter output
-        (Bt*T, Hh, Wh, P, V*C) -> oriented per-variant DownSample2D
+        """Fused TTA header (eval only): phase-OUTER scatter output
+        (Bt*T, P, Hh+2, Wh, V*C) -> oriented per-variant DownSample2D
         outputs (V*Bt, Hh, Wh, out_planes). See ops/fused_header.py."""
         import jax as _jax
 
@@ -390,20 +482,30 @@ class BasicConv2d(nn.Module):
 
 class PointNet(nn.Module):
     """Per-point MLP layer: (pre-BN) + Dense + BN (+ ReLU)
-    (backbone.py:199-230). Operates on (..., N, C)."""
+    (backbone.py:199-230). Operates on (..., N, C).
+
+    ``fold > 1`` (eval-only): input/output carry fold TTA variants as lane
+    blocks (..., N, fold*C); the shared weights apply per block with no
+    layout movement (FoldedDense / folded BN)."""
 
     cout: int
     pre_bn: bool = False
     post_act: bool = True
     dtype: Dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = x.astype(self.dtype)
         if self.pre_bn:
-            x = BN(self.dtype)(x, train)
-        x = nn.Dense(self.cout, use_bias=False, dtype=self.dtype)(x)
-        x = BN(self.dtype)(x, train)
+            x = BN(self.dtype, fold=self.fold)(x, train)
+        if self.fold > 1:
+            x = FoldedDense(self.cout, x.shape[-1] // self.fold, self.fold,
+                            use_bias=False, dtype=self.dtype,
+                            name="Dense_0")([x])
+        else:
+            x = nn.Dense(self.cout, use_bias=False, dtype=self.dtype)(x)
+        x = BN(self.dtype, fold=self.fold)(x, train)
         if self.post_act:
             x = nn.relu(x)
         return x
@@ -417,28 +519,49 @@ class PointNetStacker(nn.Module):
     post_act: bool = True
     stack_num: int = 1
     dtype: Dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
         if self.stack_num == 1:
             return PointNet(self.cout, self.pre_bn, self.post_act,
-                            self.dtype)(x, train)
-        x = PointNet(self.cout, self.pre_bn, True, self.dtype)(x, train)
+                            self.dtype, self.fold)(x, train)
+        x = PointNet(self.cout, self.pre_bn, True, self.dtype,
+                     self.fold)(x, train)
         for _ in range(1, self.stack_num - 1):
-            x = PointNet(self.cout, False, True, self.dtype)(x, train)
-        return PointNet(self.cout, False, self.post_act, self.dtype)(x, train)
+            x = PointNet(self.cout, False, True, self.dtype,
+                         self.fold)(x, train)
+        return PointNet(self.cout, False, self.post_act, self.dtype,
+                        self.fold)(x, train)
 
 
 class CatFusion(nn.Module):
     """Point-level fusion (backbone.py:387-413): concat, dropout 0.2, two
-    1x1 conv+BN+ReLU stages (sum -> sum/2 -> out)."""
+    1x1 conv+BN+ReLU stages (sum -> sum/2 -> out).
+
+    ``fold > 1`` (eval-only): inputs are folded (..., N, fold*C_i); the
+    per-variant concat never materializes — the first Dense consumes the
+    sources directly as per-source kernel row slices (see FoldedDense)."""
 
     out_channel: int
     dropout_rate: float = 0.2
     dtype: Dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x_list: Sequence[jax.Array], train: bool):
+        if self.fold > 1:
+            assert not train, "folded CatFusion is an eval-only layout"
+            xs = [v.astype(self.dtype) for v in x_list]
+            s = sum(v.shape[-1] for v in xs) // self.fold
+            x = FoldedDense(s // 2, s, self.fold, use_bias=False,
+                            dtype=self.dtype, name="Dense_0")(xs)
+            x = nn.relu(BN(self.dtype, fold=self.fold)(x, train))
+            x = FoldedDense(self.out_channel, s // 2, self.fold,
+                            use_bias=False, dtype=self.dtype,
+                            name="Dense_1")([x])
+            x = nn.relu(BN(self.dtype, fold=self.fold)(x, train))
+            return x
         x = jnp.concatenate([v.astype(self.dtype) for v in x_list], axis=-1)
         s = x.shape[-1]
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
@@ -499,11 +622,16 @@ class PointAttFusion(nn.Module):
 
 
 def make_fusion(mode: str, out_channel: int, dropout_rate: float,
-                dtype: Dtype, name: str):
+                dtype: Dtype, name: str, fold: int = 1):
     """Fusion-mode registry replacing the reference's
     ``eval('backbone.{}'.format(fusion_mode))`` (models/StreamMOS.py:82)."""
     if mode in ("cat", "CatFusion"):
-        return CatFusion(out_channel, dropout_rate, dtype=dtype, name=name)
+        return CatFusion(out_channel, dropout_rate, dtype=dtype, name=name,
+                         fold=fold)
+    if fold > 1:
+        raise NotImplementedError(
+            f"fusion_mode {mode!r} has no folded-TTA lane path; run eval "
+            "with tta_fold=False (the shipped configs use CatFusion)")
     if mode in ("point_att", "PointAttFusion"):
         return PointAttFusion(out_channel, dropout_rate, dtype=dtype,
                               name=name)
@@ -518,9 +646,15 @@ class PredBranch(nn.Module):
     cout: int
     dropout_rate: float = 0.2
     dtype: Dtype = jnp.float32
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.fold > 1:
+            assert not train, "folded PredBranch is an eval-only layout"
+            return FoldedDense(self.cout, x.shape[-1] // self.fold,
+                               self.fold, use_bias=True, dtype=self.dtype,
+                               name="Dense_0")([x.astype(self.dtype)])
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(
             x.astype(self.dtype))
         return nn.Dense(self.cout, use_bias=True, dtype=self.dtype)(x)

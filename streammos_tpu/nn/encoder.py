@@ -103,9 +103,10 @@ class MultiViewEncoder(nn.Module):
         rv_h, rv_w = cfg.voxel.rv_shape
 
         # In tta_fold mode the coord inputs are already canonical (variant-0)
-        # with leading Bt = B // 4; gathered point tensors stay in the folded
-        # (Bt, N, V, C) layout between gather and scatter (per-point ops
-        # broadcast over V), so the cascade pays no variant transposes.
+        # with leading Bt = B // 4; gathered point tensors stay in the FLAT
+        # folded (Bt, N, V*C) lane layout between gather and scatter — the
+        # interchange format of the whole folded point side — so the cascade
+        # pays no variant transposes and no (N, V, C) unfold copies.
         def cascade_gather(grid, coords, scale, kind):
             if not self.tta_fold:
                 return grid_to_point(grid, coords, scale)

@@ -67,7 +67,12 @@ def deform_attn_sample(value: jax.Array, loc: jax.Array,
     ids = (yy * Wp + xx).transpose(0, 2, 1, 3)  # (B, M, Lq, P)
     base = (jnp.arange(B * M, dtype=jnp.int32) * (Hp * Wp)).reshape(B, M, 1, 1)
     rows = jnp.take(pflat, (ids + base).reshape(-1), axis=0)
-    rows = rows.reshape(B, M, Lq, P, 4, Dh)
+    # keep the gathered rows' 4*Dh lane axis FLAT: splitting it into
+    # (4, Dh) dims costs a ~0.65 ms tile-relayout copy per attention layer
+    # (round-3 trace, reshape.374/.392); the per-tap weights reach their
+    # lane block through constant masks instead, and the tap sum runs as a
+    # small constant matmul
+    rows = rows.reshape(B, M, Lq, P, 4 * Dh)
 
     def ok(y, x):
         return ((y >= 0) & (y < H) & (x >= 0) & (x < W)
@@ -80,9 +85,14 @@ def deform_attn_sample(value: jax.Array, loc: jax.Array,
     # fold the bilinear tap weights and the attention weights together
     wtap = jnp.stack([w00, w01, w10, w11], axis=-1)  # (B, Lq, M, P, 4)
     wtap = wtap * weights[..., None].astype(value.dtype)
-    wtap = wtap.transpose(0, 2, 1, 3, 4)  # (B, M, Lq, P, 4)
-
-    out = jnp.einsum("bmqpt,bmqptd->bmqd", wtap, rows)
+    wtap = wtap.transpose(0, 2, 1, 3, 4)  # (B, M, Lq, P, 4) (small)
+    lane_masks = [jnp.asarray((np.arange(4 * Dh) // Dh) == t,
+                              dtype=value.dtype) for t in range(4)]
+    w_lane = sum(wtap[..., t, None] * lane_masks[t] for t in range(4))
+    acc = (rows * w_lane).sum(axis=3)  # (B, M, Lq, 4*Dh)
+    # sum the 4 tap blocks down to Dh lanes with a constant 0/1 matmul
+    taps_fold = jnp.asarray(np.tile(np.eye(Dh), (4, 1)), value.dtype)
+    out = jnp.einsum("bmql,ld->bmqd", acc, taps_fold)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * Dh)
 
 

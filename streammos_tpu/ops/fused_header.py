@@ -175,8 +175,9 @@ def _pair_kernel(g_hbm, kcs_ref, kcx_ref, kp_ref, aff_ref, y_ref, gbuf,
     carried across the T steps of a tile and a 2-slot double buffer so the
     next step's 4 phase-block DMAs overlap this step's matmuls.
 
-    Refs: g_hbm (Bt*T, Hh+2, Wh, P*V*C) flat channels in ANY/HBM (the
-    pair's per-phase 128-channel blocks are lane-tile-aligned slices);
+    Refs: g_hbm (Bt*T, P, Hh+2, Wh, V*C) PHASE-OUTER in ANY/HBM (the
+    layout the scatter's flat output bitcasts to for free; the pair's
+    128-channel block is a lane-tile-aligned slice of each phase plane);
     kcs (T, 2, P*PAIR*C, PAIR*Cout) shared-window conv kernels VMEM;
     kcx (T, 2, PAIR, P*PAIR*C, PAIR*Cout) off-column conv kernels VMEM;
     kp (T, PAIR*C, PAIR*Cout) pool 1x1 VMEM;
@@ -213,8 +214,8 @@ def _pair_kernel(g_hbm, kcs_ref, kcx_ref, kp_ref, aff_ref, y_ref, gbuf,
     def copies(s, cb, ci, ct):
         # padded G: tile i's halo window is rows [i*TR, i*TR + TR+2)
         return [pltpu.make_async_copy(
-            g_hbm.at[cb * T + ct, pl.ds(ci * TR, TR + 2), :,
-                     pl.ds(p * V_TTA * C + ch0, PAIR * C)],
+            g_hbm.at[cb * T + ct, p, pl.ds(ci * TR, TR + 2), :,
+                     pl.ds(ch0, PAIR * C)],
             gbuf.at[s, :, pl.ds(GPAD, Wh), pl.ds(p * PAIR * C, PAIR * C)],
             sems.at[s]) for p in range(P_PHASE)]
 
@@ -322,11 +323,13 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
                      T: int, interpret: bool = False) -> jax.Array:
     """All four TTA variants' DownSample2D outputs, canonical-anchored.
 
-    g_phase: (Bt*T, Hh+2, Wh, P, V*C) —
-      `voxel_max_pool(..., phase_split=True, row_pad=1)` output (one
-      always-zero half-res row above and below the grid) whose channel
-      axis carries the folded TTA variants (v-major, as
-      `models.stream_mos` folds them).
+    g_phase: (Bt*T, P, Hh+2, Wh, V*C) PHASE-OUTER —
+      `voxel_max_pool(..., phase_split="outer", row_pad=1)` output (one
+      always-zero half-res row above and below each phase plane) whose
+      channel axis carries the folded TTA variants (v-major, as
+      `models.stream_mos` folds them). Phase-outer makes this array the
+      scatter's flat output verbatim (no retile between scatter and
+      header).
     k3 / k1: (3, 3, T*C, Cout) / (1, 1, T*C, Cout) DownSample2D kernels.
     conv_affine / pool_affine: per-channel eval-BN (scale, bias) pairs.
 
@@ -334,7 +337,7 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
     orientation — apply `tta_fold.orient_grid` per variant for the
     variant-oriented stack the rest of the encoder consumes.
     """
-    BtT, Hp, Wh, P, VC = g_phase.shape
+    BtT, P, Hp, Wh, VC = g_phase.shape
     assert P == P_PHASE and VC % V_TTA == 0
     Hh = Hp - 2  # row_pad=1 top and bottom
     C = VC // V_TTA
@@ -354,9 +357,8 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
             " composition", stacklevel=2)
         return fused_header_reference(g_phase, k3, k1, conv_affine,
                                       pool_affine, T)
-    # flat channels: pair k of phase p is the lane-tile-aligned 128-wide
-    # slice at p*V*C + k*PAIR*C (v-major fold)
-    g_flat = g_phase.reshape(BtT, Hp, Wh, P * VC)
+    # phase-outer: each phase is its own (Hp, Wh, V*C) plane; pair k's
+    # 128-channel block is the lane-tile-aligned slice at k*PAIR*C
 
     def tile_pair(a):
         return jnp.tile(a.astype(jnp.float32), (PAIR,))
@@ -407,7 +409,7 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(g_flat, kcs, kcx, kp, aff)
+        )(g_phase, kcs, kcx, kp, aff)
         # split the pair back out of the channel axis
         outs.append(y[..., :Cout])
         outs.append(y[..., Cout:])
@@ -422,13 +424,13 @@ def fused_header_reference(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
     the outputs back to canonical orientation."""
     from streammos_tpu.ops.tta_fold import orient_grid
 
-    g_phase = g_phase[:, 1:-1]  # strip the row_pad=1 halo rows
-    BtT, Hh, Wh, P, VC = g_phase.shape
+    g_phase = g_phase[:, :, 1:-1]  # strip the row_pad=1 halo rows
+    BtT, P, Hh, Wh, VC = g_phase.shape
     C = VC // V_TTA
     Bt = BtT // T
-    g7 = g_phase.reshape(BtT, Hh, Wh, 2, 2, V_TTA, C)
-    # full[2h+bx, 2w+by] = G[h, w, 2*bx+by]
-    full = jnp.transpose(g7, (0, 1, 3, 2, 4, 5, 6)).reshape(
+    g7 = g_phase.reshape(BtT, 2, 2, Hh, Wh, V_TTA, C)
+    # full[2h+bx, 2w+by] = G[p=2*bx+by, h, w]
+    full = jnp.transpose(g7, (0, 3, 1, 4, 2, 5, 6)).reshape(
         BtT, 2 * Hh, 2 * Wh, V_TTA, C)
 
     outs = []

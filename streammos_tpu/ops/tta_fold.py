@@ -158,19 +158,20 @@ def voxel_max_pool_tta(feat: jax.Array, coords0: jax.Array,
                        phase_split: bool = False) -> jax.Array:
     """Scatter all V_TTA variants in ONE max-pool.
 
-    feat:    (B, N, V, C) per-variant point features, variant on the MINOR
-             axis (the folded point-side layout — reshaping to the scatter's
-             V*C channel rows is free, where a (V, B, N, C) batch-major
-             layout would pay a ~4 ms moveaxis at production shapes).
+    feat:    (B, N, V*C) per-variant point features FOLDED as v-major lane
+             blocks — the end-to-end folded point-side layout (round 3:
+             carrying (N, V, C) dims instead costs a ~1.4 ms relayout copy
+             per rearrangement at production shapes, ~7 ms/frame total).
     coords0: (B, N, >=2) variant-0 fractional grid coords (shared structure).
     Returns (V, B, H, W, C) — each variant's grid in its OWN orientation,
     exactly as per-variant `voxel_max_pool` calls would produce (the dense
     conv side wants variants on the batch axis).
     """
-    B, N, V, C = feat.shape
-    assert V == V_TTA
-    folded = feat.reshape(B, N, V * C)
-    grid = voxel_max_pool(folded, coords0[..., :2], out_size, scale_rate,
+    B, N, VC = feat.shape
+    V = V_TTA
+    assert VC % V == 0
+    C = VC // V
+    grid = voxel_max_pool(feat, coords0[..., :2], out_size, scale_rate,
                           "auto", nonneg, phase_split)
     H, W = out_size
     if phase_split:
@@ -250,11 +251,14 @@ def grid_to_point_tta(grids: jax.Array, coords0: jax.Array,
     grids:   (V, B, H, W, C) per-variant grids in their own orientations
              (as `voxel_max_pool_tta` / the per-variant convs produce them).
     coords0: (B, N, 2) variant-0 fractional coords in unscaled grid units.
-    Returns (B, N, V, C) — per-variant samples matching per-variant
-    `grid_to_point` calls, variant on the MINOR axis (the folded point-side
-    layout: per-point heads treat V as a broadcast axis, so no transpose is
-    ever paid).
-    """
+    Returns (B, N, V*C) — per-variant samples matching per-variant
+    `grid_to_point` calls, FOLDED as v-major lane blocks (the end-to-end
+    folded point-side layout). The per-variant bilinear weights apply as a
+    lane-select broadcast — weight of lane l is the variant l // C's scalar
+    weight — so the whole tap sum stays in the flat (B, N, V*C) layout and
+    XLA fuses it into the gather consumers with zero relayout copies
+    (round 3: the earlier (B, N, V, C) unfold cost ~0.25 ms per tap per
+    gather, ~3.7 ms/frame)."""
     V, B, H, W, C = grids.shape
     assert V == V_TTA
     dt = grids.dtype
@@ -323,14 +327,18 @@ def grid_to_point_tta(grids: jax.Array, coords0: jax.Array,
 
     # per-tap fused multiply-accumulate (no stacked tap buffer: each gather
     # feeds an elementwise FMA that XLA fuses, so nothing ty*tx-wide ever
-    # hits HBM).
+    # hits HBM). The per-variant weight reaches its lane block through a
+    # constant lane mask, keeping every tensor in the flat (B, N, V*C)
+    # layout (no (N, V, C) unfold copies).
+    lane_masks = [jnp.asarray((np.arange(V * C) // C) == v, dtype=dt)
+                  for v in range(V)]
     out = None
     for dy in range(2):
         for dx in range(2):
             idx = jnp.minimum(base + (dy * Wp + dx), last)
-            t = jnp.take(gflat, idx, axis=0).reshape(B, -1, V, C)
-            wk = jnp.stack([wy_all[v][..., dy] * wx_all[v][..., dx]
-                            for v in range(V)], axis=-1)  # (B, N, V)
-            term = t * wk[..., None]
+            t = jnp.take(gflat, idx, axis=0)  # (B, N, V*C)
+            wk = sum((wy_all[v][..., dy] * wx_all[v][..., dx])[..., None]
+                     * lane_masks[v] for v in range(V))  # (B, N, V*C)
+            term = t * wk
             out = term if out is None else out + term
-    return out * guard[..., None, None]  # (B, N, V, C)
+    return out * guard[..., None]  # (B, N, V*C)

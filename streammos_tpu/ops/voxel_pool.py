@@ -46,6 +46,14 @@ def _cell_ids(inds: jax.Array, out_size: Sequence[int],
     rearrangement of the full grid (tools/bench_header.py: the same conv is
     1.7x faster in phase form, and all 512^2-layout copies disappear).
 
+    phase_split="outer": the same cells PHASE-MAJOR —
+    ``((phase*rows + (cx>>1)+row_pad)*(W/2) + (cy>>1))`` so the dense
+    output reshapes to (4, rows, W/2, C). This is the layout the fused
+    Pallas header DMAs per-phase row windows from; with phase outermost the
+    scatter's flat (cells, C) output IS that layout bit-for-bit, removing
+    the 1.25 ms tile-relayout reshape the phase-minor form paid between the
+    scatter and the header (round-3 trace, reshape.223).
+
     row_pad (phase_split only): shift the half-res row index by ``row_pad``
     and emit ``2*row_pad`` extra (always-empty, zero-filled) rows, so that
     every row window a downstream row-tiled consumer needs — including the
@@ -65,9 +73,15 @@ def _cell_ids(inds: jax.Array, out_size: Sequence[int],
     if phase_split:
         assert D == 2 and out_size[0] % 2 == 0 and out_size[1] % 2 == 0
         cx, cy = cells
-        flat = ((((cx >> 1) + row_pad) * (out_size[1] // 2) + (cy >> 1)) * 4
-                + (cx & 1) * 2 + (cy & 1))
-        num_cells = (out_size[0] // 2 + 2 * row_pad) * (out_size[1] // 2) * 4
+        rows = out_size[0] // 2 + 2 * row_pad
+        if phase_split == "outer":
+            phase = (cx & 1) * 2 + (cy & 1)
+            flat = ((phase * rows + (cx >> 1) + row_pad)
+                    * (out_size[1] // 2) + (cy >> 1))
+        else:
+            flat = ((((cx >> 1) + row_pad) * (out_size[1] // 2)
+                     + (cy >> 1)) * 4 + (cx & 1) * 2 + (cy & 1))
+        num_cells = rows * (out_size[1] // 2) * 4
     else:
         flat = jnp.zeros(inds.shape[:-1], dtype=jnp.int32)
         stride = num_cells
@@ -174,7 +188,9 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
     flat, valid = _cell_ids(inds, out_size, scale_rate, phase_split, row_pad)
     if phase_split:
         H, W = out_size
-        grid_shape = (H // 2 + 2 * row_pad, W // 2, 4)
+        rows = H // 2 + 2 * row_pad
+        grid_shape = ((4, rows, W // 2) if phase_split == "outer"
+                      else (rows, W // 2, 4))
     else:
         grid_shape = tuple(out_size)
     num_cells = int(np.prod(grid_shape))

@@ -81,20 +81,23 @@ def make_eval_step(model: StreamMOSNet, cfg: Config, with_refine: bool = False):
       (scores (N, C) softmax-averaged over TTA, bf_scores or None, new_memory)
     """
 
-    def tta_mean(pred):
-        # folded layout: (Bt, N, V, C) with Bt == 1; batch-fan: (V, N, C)
-        scores = jax.nn.softmax(pred, axis=-1)
+    def tta_mean(out, key):
         if model.tta_fold:
-            return scores[0].mean(axis=-2)
-        return scores.mean(axis=0)
+            # reduce from the FOLDED logits with N on lanes (tta_scores);
+            # the narrow unfolded view stays dead code
+            from streammos_tpu.models.stream_mos import tta_scores
+
+            return tta_scores(out[key + "_folded"],
+                              cfg.model.class_num)[0]
+        return jax.nn.softmax(out[key], axis=-1).mean(axis=0)
 
     def eval_fn(variables, batch, memory, use_memory):
         out, _ = stage_forward(model, variables, batch, memory, use_memory,
                                train=False)
-        scores = tta_mean(out["pred"])
+        scores = tta_mean(out, "pred")
         bf_scores = None
         if with_refine:
-            bf_scores = tta_mean(out["bf_pred"])
+            bf_scores = tta_mean(out, "bf_pred")
         return scores, bf_scores, out["memory"]
 
     return jax.jit(eval_fn)

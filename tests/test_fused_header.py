@@ -27,11 +27,12 @@ from streammos_tpu.ops.fused_header import (fused_header_reference,
 
 
 def _rand_inputs(rng, T=3, C=8, Cout=16, Bt=1, Hh=16, Wh=128):
-    # the kernels consume the row_pad=1 layout: one always-zero half-res
-    # row above and below the grid (voxel_max_pool(..., row_pad=1))
-    g = rng.randn(Bt * T, Hh + 2, Wh, 4, 4 * C).astype(np.float32)
-    g[:, 0] = 0.0
-    g[:, -1] = 0.0
+    # the kernels consume the phase-OUTER row_pad=1 layout: one always-zero
+    # half-res row above and below each phase plane
+    # (voxel_max_pool(..., phase_split="outer", row_pad=1))
+    g = rng.randn(Bt * T, 4, Hh + 2, Wh, 4 * C).astype(np.float32)
+    g[:, :, 0] = 0.0
+    g[:, :, -1] = 0.0
     g = jnp.asarray(g)
     k3 = jnp.asarray(rng.randn(3, 3, T * C, Cout).astype(np.float32) * 0.1)
     k1 = jnp.asarray(rng.randn(1, 1, T * C, Cout).astype(np.float32) * 0.1)

@@ -52,8 +52,10 @@ def test_scatter_fold_exact(tta_batch, kind, out_size, scale):
     exact = jnp.stack([
         voxel_max_pool(feat[v], coords[v][None, :, :2], out_size, scale)[0]
         for v in range(4)])
-    folded = voxel_max_pool_tta(jnp.moveaxis(feat, 0, 2), coords[0][None],
-                                out_size, scale, kind)[:, 0]
+    n = coords.shape[1]
+    folded = voxel_max_pool_tta(
+        jnp.moveaxis(feat, 0, 2).reshape(1, n, 4 * 8), coords[0][None],
+        out_size, scale, kind)[:, 0]
     assert jnp.array_equal(exact, folded), (
         f"{int((exact != folded).sum())} mismatched cells")
 
@@ -66,8 +68,8 @@ def test_gather_fold_close(tta_batch, kind, out_size, scale):
                         .astype(np.float32))
     exact = jnp.stack([grid_to_point(grids[v], coords[v][None, :, :2], scale)
                        for v in range(4)])
-    folded = jnp.moveaxis(
-        grid_to_point_tta(grids, coords[0][None, :, :2], scale, kind), 2, 0)
+    out = grid_to_point_tta(grids, coords[0][None, :, :2], scale, kind)
+    folded = jnp.moveaxis(out.reshape(1, -1, 4, 8), 2, 0)  # unfold lanes
     # bilinear fractions enter as 1-f instead of frac(W-p): 1-ulp wiggle
     np.testing.assert_allclose(np.asarray(exact), np.asarray(folded),
                                atol=2e-3, rtol=2e-4)

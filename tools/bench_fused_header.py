@@ -36,9 +36,10 @@ def main():
     dt = jnp.float32 if args.f32 else jnp.bfloat16
     rng = np.random.default_rng(0)
 
-    g = rng.uniform(0, 2, (Bt * T, Hh + 2, Wh, 4, 4 * C)).astype(np.float32)
-    g[:, 0] = 0.0
-    g[:, -1] = 0.0
+    # phase-OUTER row_pad=1 layout (voxel_max_pool phase_split="outer")
+    g = rng.uniform(0, 2, (Bt * T, 4, Hh + 2, Wh, 4 * C)).astype(np.float32)
+    g[:, :, 0] = 0.0
+    g[:, :, -1] = 0.0
     g = jnp.asarray(g, dt)
     k3 = jnp.asarray(rng.normal(0, 0.05, (3, 3, T * C, Cout)), dt)
     k1 = jnp.asarray(rng.normal(0, 0.05, (1, 1, T * C, Cout)), dt)

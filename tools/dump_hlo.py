@@ -15,7 +15,8 @@ def main():
     from streammos_tpu.config import get_config
     from streammos_tpu.models import init_model, memory_shape
     from streammos_tpu.models.stream_mos import (featurize, stage_forward,
-                                                 tta_expand_folded)
+                                                 tta_expand_folded,
+                                                 tta_scores)
 
     cfg = get_config("StreamMOS")
     m = cfg.model
@@ -31,7 +32,7 @@ def main():
         batch = featurize(tta_expand_folded(xyzi), m)
         out, _ = stage_forward(model, variables, batch, memory,
                                jnp.asarray(True), train=False)
-        scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=-2)
+        scores = tta_scores(out["pred_folded"], m.class_num)
         return scores.sum(), out["memory"]
 
     txt = jax.jit(frame).lower(variables, xyzi, memory).compile().as_text()

@@ -32,7 +32,8 @@ def profile_eval(trace_dir):
     from streammos_tpu.config import get_config
     from streammos_tpu.models import init_model, memory_shape
     from streammos_tpu.models.stream_mos import (featurize, stage_forward,
-                                                 tta_expand_folded)
+                                                 tta_expand_folded,
+                                                 tta_scores)
 
     cfg = get_config("StreamMOS")
     m = cfg.model
@@ -50,7 +51,7 @@ def profile_eval(trace_dir):
         batch = featurize(tta_expand_folded(xyzi), m)
         out, _ = stage_forward(model, variables, batch, memory,
                                jnp.asarray(True), train=False)
-        scores = jax.nn.softmax(out["pred"], axis=-1).mean(axis=-2)
+        scores = tta_scores(out["pred_folded"], m.class_num)
         return scores.sum(), out["memory"]
 
     s, memory = frame(variables, xyzi, memory)

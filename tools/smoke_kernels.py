@@ -120,9 +120,10 @@ def smoke_fused_header(dtype) -> bool:
     # production channel widths (the compiled kernel's DMA slices require a
     # 128-lane variant-pair block: PAIR*C == 128); small spatial extent
     T, C, Cout, Bt, Hh, Wh = 3, 64, 32, 1, 16, 128
-    g = rng.randn(Bt * T, Hh + 2, Wh, 4, 4 * C).astype(np.float32)
-    g[:, 0] = 0.0
-    g[:, -1] = 0.0
+    # phase-OUTER row_pad=1 layout (voxel_max_pool phase_split="outer")
+    g = rng.randn(Bt * T, 4, Hh + 2, Wh, 4 * C).astype(np.float32)
+    g[:, :, 0] = 0.0
+    g[:, :, -1] = 0.0
     g = jnp.asarray(g).astype(dtype)
     k3 = jnp.asarray(rng.randn(3, 3, T * C, Cout).astype(np.float32) * 0.1)
     k1 = jnp.asarray(rng.randn(1, 1, T * C, Cout).astype(np.float32) * 0.1)
