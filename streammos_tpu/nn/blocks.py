@@ -26,6 +26,7 @@ from typing import Any, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 from streammos_tpu.ops import grid_to_point
 
@@ -144,6 +145,21 @@ class FoldedDense(nn.Module):
         return out
 
 
+def maxpool3x3(x: jax.Array, stride: int) -> jax.Array:
+    """3x3 max-pool, padding 1, via SEPARABLE shifted-slice maxima.
+
+    Exactly `nn.max_pool(x, (3, 3), strides, padding=((1,1),(1,1)))` (max
+    is associative and -inf-padded), but XLA's reduce-window lowering runs
+    ~25x below stream speed at small channel counts (1.27 ms for a 4 MB
+    32-channel map on v5e, round-3 trace); four shifted elementwise maxima
+    run at stream speed."""
+    neg = jnp.asarray(-np.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    m = jnp.maximum(jnp.maximum(xp[:, :, :-2], xp[:, :, 1:-1]), xp[:, :, 2:])
+    m = jnp.maximum(jnp.maximum(m[:, :-2], m[:, 1:-1]), m[:, 2:])
+    return m[:, ::stride, ::stride]
+
+
 def conv3x3(out_planes: int, stride: int = 1, dilation: int = 1,
             bias: bool = False, dtype: Dtype = jnp.float32) -> nn.Conv:
     """3x3 conv with 'same-ish' torch padding (backbone.py:9-11)."""
@@ -210,8 +226,7 @@ class DownSample2D(nn.Module):
 
         pool_b = apply(k1, (1, 1), ((0, 0), (0, 0)))
         pool_b = BN(self.dtype)(pool_b, train)
-        pool_b = nn.max_pool(pool_b, (3, 3), strides=(self.stride, self.stride),
-                             padding=((1, 1), (1, 1)))
+        pool_b = maxpool3x3(pool_b, self.stride)
         return nn.relu(conv_b + pool_b)
 
     def _phase_forward(self, x, k3, k1, train: bool):

@@ -142,3 +142,66 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def sentinel_scaling():
+    """Does the XLA zeros-scatter skip FILL_OR_DROP rows cheaply? Decides
+    whether eval's sentinel padding (160k padded vs ~125k live points on
+    real scans) should be reflected in the bench bank."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rng = np.random.default_rng(1)
+    trivial = jax.jit(lambda x: x.sum())
+    float(trivial(jnp.zeros((8, 8))))
+    import time as _t
+    rtts = []
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        float(trivial(jnp.zeros((8, 8))))
+        rtts.append(_t.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(f"rtt {rtt*1e3:.1f} ms", flush=True)
+
+    R, C, CELLS = 480000, 256, 792576
+    feat = jnp.asarray(np.abs(rng.normal(size=(R, C))).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,))
+    for frac in (0.0, 0.25, 0.5, 0.9):
+        live = rng.uniform(0, 1, R) >= frac
+        base = rng.integers(0, CELLS, R).astype(np.int32)
+        ids0 = jnp.asarray(np.where(live, base, -1).astype(np.int32))
+
+        def fn(c):
+            # perturb only live ids; dead rows stay out of range
+            i = jnp.where(ids0 >= 0, (ids0 + c.astype(jnp.int32)) % CELLS,
+                          CELLS)
+            out = lax.scatter_max(
+                jnp.zeros((CELLS, C), feat.dtype), i[:, None], feat, dnums,
+                indices_are_sorted=False, unique_indices=False,
+                mode=lax.GatherScatterMode.FILL_OR_DROP)
+            return c + out[0, 0].astype(c.dtype) * 0 + 1
+
+        @jax.jit
+        def chained(c):
+            for _ in range(4):
+                c = fn(c)
+            return c.sum()
+
+        import time
+        init = jnp.zeros((), jnp.float32)
+        float(chained(init))
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(chained(init))
+            ts.append(time.perf_counter() - t0)
+        t = (np.median(ts) - rtt) / 4
+        print(f"dropped={frac:.2f}  {t*1e3:8.2f} ms", flush=True)
+
+
+if "sentinel_scaling" in sys.argv:
+    sentinel_scaling()

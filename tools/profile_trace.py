@@ -98,6 +98,7 @@ def report(trace_path, n_iters, top=45):
                 if e.get("ph") == "M" and e.get("name") == "process_name"
                 and "TPU" in str(e.get("args", {}).get("name", ""))}
     agg = {}
+    cats = {}
     total = 0.0
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
@@ -109,9 +110,16 @@ def report(trace_path, n_iters, top=45):
         a = agg.setdefault(name, [0.0, 0])
         a[0] += d
         a[1] += 1
+        cat = (e.get("args") or {}).get("hlo_category", "?")
+        cats[cat] = cats.get(cat, 0.0) + d
         total += d
     print(f"total device time: {total/1e3/n_iters:.2f} ms/iter "
           f"({len(agg)} distinct ops)")
+    print("-- by HLO category --")
+    for cat, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
+        if dur / 1e3 / n_iters >= 0.05:
+            print(f"{dur/1e3/n_iters:9.3f} ms  {cat}")
+    print("-- top ops --")
     for name, (dur, cnt) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]:
         print(f"{dur/1e3/n_iters:9.3f} ms  x{cnt//n_iters:<3d} {name[:90]}")
 
