@@ -116,7 +116,9 @@ def bench_train_step(jax, jnp, cfg):
                                   num_points=N)
     tx, _ = build_optimizer(cfg.optimize, per_epoch_iters=100)
     state = create_train_state(variables, tx)
-    step = make_train_step(model, cfg, tx, donate=False)
+    # donate=True is the production trainer configuration (state threads
+    # through the loop); measured 0.447 vs 0.503 s/step undonated
+    step = make_train_step(model, cfg, tx, donate=True)
 
     rng = np.random.default_rng(0)
     windows = {

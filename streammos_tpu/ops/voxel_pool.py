@@ -115,8 +115,9 @@ def voxel_max_pool(feat: jax.Array, inds: jax.Array,
       inds: (B, N, D) fractional grid coordinates (e.g. D=2 for BEV / RV).
       out_size: grid extent per index dim, e.g. (512, 512).
       scale_rate: multiplier applied to each index dim before truncation.
-      impl: 'auto' (Pallas sorted kernel on TPU, XLA segment_max elsewhere),
-        'xla', or 'pallas'.
+      impl: 'auto' (the XLA scatter — measured fastest on v5e at every
+        in-model shape, docs/DESIGN.md), 'xla', or the opt-in Pallas
+        ablation kernels 'pallas' (sorted) / 'vmem' (VMEM-resident).
       nonneg: promise that ``feat >= 0`` everywhere (true for every in-model
         call — point features are post-ReLU and labels are non-negative).
         Enables the fast path: `lax.scatter_max` straight into a zero grid,

@@ -112,3 +112,74 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def patch_concat():
+    """The sample.py trick at folded-TTA widths: pre-concat the 2x2
+    neighborhood into 4*C-wide rows, ONE flat take per point, lane-sliced
+    tap FMA. vs the 4-separate-takes form grid_to_point_tta currently
+    uses (round-3 trace: 4 x 0.48 ms per gather)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    trivial = jax.jit(lambda x: x.sum())
+    float(trivial(jnp.zeros((8, 8))))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter(); float(trivial(jnp.zeros((8, 8))))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+    print(f"tunnel rtt: {rtt*1e3:.1f} ms", flush=True)
+
+    N, C = 160000, 256
+    H, W = 258, 258
+    table_np = rng.normal(size=(H, W, C)).astype(np.float32)
+    table = jnp.asarray(table_np).astype(jnp.bfloat16)
+    ids_np = (rng.integers(0, H - 2, N) * W + rng.integers(0, W - 2, N))
+    ids = jnp.asarray(ids_np.astype(np.int32))
+    wk = jnp.asarray(rng.normal(size=(N, 4)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+
+    def timeit(name, fn, K=4, reps=2):
+        @jax.jit
+        def chained(c):
+            for _ in range(K):
+                c = fn(c)
+            return c.sum()
+        init = jnp.zeros((), jnp.float32)
+        float(chained(init))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); float(chained(init))
+            ts.append(time.perf_counter() - t0)
+        print(f"{name:44s} {(np.median(ts)-rtt)/K*1e3:8.2f} ms", flush=True)
+
+    def mk_patch(c):
+        t = table + c.astype(table.dtype) * 0
+        patch = jnp.concatenate(
+            [t[:-1, :-1], t[:-1, 1:], t[1:, :-1], t[1:, 1:]],
+            axis=-1).reshape((H - 1) * (W - 1), 4 * C)
+        i = (ids + c.astype(jnp.int32)) % ((H - 1) * (W - 1))
+        rows = jnp.take(patch, i, axis=0)  # (N, 4C)
+        out = sum(rows[:, k * C:(k + 1) * C] * wk[:, k:k + 1]
+                  for k in range(4))
+        return c + out[0, 0].astype(c.dtype) * 0 + 1
+    timeit("patch-concat + 1 take (1024-lane rows)", mk_patch)
+
+    flat = table.reshape(H * W, C)
+
+    def mk_4take(c):
+        t = flat + c.astype(flat.dtype) * 0
+        i = (ids + c.astype(jnp.int32)) % (H * W - W - 2)
+        out = None
+        for k, off in enumerate((0, 1, W, W + 1)):
+            rows = jnp.take(t, i + off, axis=0)
+            term = rows * wk[:, k:k + 1]
+            out = term if out is None else out + term
+        return c + out[0, 0].astype(c.dtype) * 0 + 1
+    timeit("4 takes + FMA (256-lane rows)", mk_4take)
+
+
+if "patch" in sys.argv:
+    patch_concat()

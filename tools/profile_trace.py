@@ -104,8 +104,8 @@ def report(trace_path, n_iters, top=45):
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
             continue
         name = e.get("name", "")
-        if name.startswith("jit_"):
-            continue  # whole-executable envelope
+        if name.startswith("jit_") or name.isdigit():
+            continue  # whole-executable / module envelopes (double counts)
         d = e.get("dur", 0.0)
         a = agg.setdefault(name, [0.0, 0])
         a[0] += d
