@@ -55,8 +55,9 @@ def skewed_scan_bank(rng, bank, T, N):
     az = rng.uniform(-np.pi, np.pi, shape)
     elev = np.deg2rad(rng.uniform(-25.0, 3.0, shape))
     r = np.minimum(2.5 + rng.exponential(9.0, shape), 69.0)
-    # ~8% of points beyond the +-50 m crop (mirrors the val filter's
-    # out-of-range tail that lands in the sentinel cell)
+    # ~5% of points beyond the +-50 m crop (4% forced far + the clipped
+    # exponential's own tail), mirroring the val filter's out-of-range
+    # points that land in the sentinel cell
     far = rng.uniform(0, 1, shape) < 0.04
     r = np.where(far, rng.uniform(55.0, 80.0, shape), r)
     x = r * np.cos(elev) * np.cos(az)
@@ -174,15 +175,9 @@ def bench_host_pipeline():
 def main():
     import jax
 
-    # persistent compilation cache: the production graphs cost 5-10 min of
-    # tunnel compiles each; cached re-runs complete in ~2 min
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
-    except Exception:
-        pass
-
+    # the persistent compilation cache (5-10 min of tunnel compiles on a
+    # cold run, seconds warm) is configured by the streammos_tpu package
+    # import below (STREAMMOS_JAX_CACHE overrides/disables)
     import jax.numpy as jnp
     from streammos_tpu.config import get_config
     from streammos_tpu.models import init_model

@@ -19,12 +19,17 @@ __version__ = "0.1.0"
 def _enable_compilation_cache() -> None:
     """Persist compiled executables under the repo (production graphs cost
     5-10 min of compiles on a tunneled TPU; cached re-runs take seconds).
-    Safe no-op if jax is already initialized past the config point."""
+
+    Respects prior configuration: a user-set `jax_compilation_cache_dir`
+    (or STREAMMOS_JAX_CACHE=0) disables this default. Safe no-op if jax is
+    already initialized past the config point."""
     import os
 
     try:
         import jax
 
+        if getattr(jax.config, "jax_compilation_cache_dir", None):
+            return  # user already configured a cache — leave it alone
         cache = os.environ.get(
             "STREAMMOS_JAX_CACHE",
             os.path.join(os.path.dirname(os.path.dirname(

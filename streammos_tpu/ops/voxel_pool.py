@@ -128,9 +128,12 @@ def voxel_max_pool(feat: jax.Array, inds: jax.Array,
 
     Returns:
       (B, *out_size, C) dense grid; cell value = max over points mapping to
-      the cell, 0 for empty cells. With ``phase_split`` the same cells in
-      space-to-depth layout: (B, H/2, W/2, 4, C), phase index = 2*(x&1)+(y&1)
-      (see `_cell_ids`).
+      the cell, 0 for empty cells. With ``phase_split=True`` the same cells
+      in space-to-depth layout (B, H/2 + 2*row_pad, W/2, 4, C), phase index
+      = 2*(x&1)+(y&1); with ``phase_split="outer"`` the phase-MAJOR layout
+      (B, 4, H/2 + 2*row_pad, W/2, C) the fused header DMAs from (see
+      `_cell_ids`). ``row_pad`` adds that many always-empty half-res rows
+      above and below each (phase) plane.
     """
     out, _ = _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg,
                        phase_split, row_pad)

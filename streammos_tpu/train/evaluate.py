@@ -74,7 +74,7 @@ def stream_eval(cfg, dcfg, model, variables, *, with_refine: bool,
         n_frames += 1
 
         n_valid = dcfg.frame_point_num - sample["pad_length"]
-        scores_np = np.asarray(scores)
+        scores_np = np.asarray(scores[0])  # single-stream eval: Bt == 1
         if with_labels:
             metric.add_batch(sample["targets"][:n_valid], scores_np[:n_valid])
 
@@ -88,7 +88,8 @@ def stream_eval(cfg, dcfg, model, variables, *, with_refine: bool,
                 os.path.join(out_dir, sample["file_id"] + ".label"))
 
         if with_refine and bf_scores is not None and bf_root is not None:
-            bf_pred = np.asarray(bf_scores)[:n_valid].argmax(-1).astype(np.uint32)
+            bf_pred = np.asarray(
+                bf_scores[0])[:n_valid].argmax(-1).astype(np.uint32)
             bf_full = np.zeros(sample["valid_mask"].shape[0], np.uint32)
             bf_full[sample["valid_mask"]] = bf_pred
             bf_dir = os.path.join(bf_root, sample["seq_id"], "predictions")

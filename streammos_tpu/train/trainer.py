@@ -78,18 +78,21 @@ def make_eval_step(model: StreamMOSNet, cfg: Config, with_refine: bool = False):
     leaves the device between frames.
 
     Returns jitted: (variables, batch, memory, use_memory) ->
-      (scores (N, C) softmax-averaged over TTA, bf_scores or None, new_memory)
+      (scores (Bt, N, C) softmax-averaged over TTA — one row per parallel
+      stream, Bt == 1 in the reference protocol —, bf_scores or None,
+      new_memory)
     """
 
     def tta_mean(out, key):
         if model.tta_fold:
             # reduce from the FOLDED logits with N on lanes (tta_scores);
-            # the narrow unfolded view stays dead code
+            # the narrow unfolded view stays dead code. Every stream's
+            # scores are returned (a Bt>1 folded batch is the parallel-
+            # stream eval layout, __graft_entry__.dryrun_multichip).
             from streammos_tpu.models.stream_mos import tta_scores
 
-            return tta_scores(out[key + "_folded"],
-                              cfg.model.class_num)[0]
-        return jax.nn.softmax(out[key], axis=-1).mean(axis=0)
+            return tta_scores(out[key + "_folded"], cfg.model.class_num)
+        return jax.nn.softmax(out[key], axis=-1).mean(axis=0)[None]
 
     def eval_fn(variables, batch, memory, use_memory):
         out, _ = stage_forward(model, variables, batch, memory, use_memory,

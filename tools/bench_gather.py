@@ -111,7 +111,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "patch" in sys.argv:
+        patch_concat()
+    else:
+        main()
 
 
 def patch_concat():
@@ -181,5 +184,3 @@ def patch_concat():
     timeit("4 takes + FMA (256-lane rows)", mk_4take)
 
 
-if "patch" in sys.argv:
-    patch_concat()
