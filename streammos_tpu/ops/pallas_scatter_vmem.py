@@ -89,12 +89,16 @@ def _kernel(ids_ref, feat_ref, out_ref, acc, *, K: int, n_blocks: int,
     # updates copy g % K, so the serial read-max-write chains of the K
     # copies interleave and the VPU pipeline stays full.
     #
-    # The select runs in f32 regardless of the data dtype: an i1 mask vector
-    # paired with a (16,128)-tiled bf16 operand hits an unsupported Mosaic
-    # relayout ("Invalid relayout ... vector<8x128xi1>: (8,128) -> (16,128)",
-    # the round-2 on-hardware regression); masking against the (8,128)-tiled
-    # f32 layout compiles, and the f32->bf16 cast after the select is cheap.
-    sub = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
+    # The row mask is built ARITHMETICALLY in the data dtype:
+    # max(0, 1 - |sublane - off|) is exactly 1 on the point's sublane and 0
+    # elsewhere (integers 0..7 are exact in bf16). An i1 mask vector paired
+    # with a (16,128)-tiled bf16 operand hits an unsupported Mosaic relayout
+    # ("Invalid relayout ... vector<8x128xi1>", the round-2 on-hardware
+    # regression), and routing the select through f32 (the round-3 first
+    # fix) doubles the per-update vector work.
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0).astype(acc.dtype)
+    one = jnp.ones((), acc.dtype)
+    zero = jnp.zeros((), acc.dtype)
 
     def body(j, _):
         bp = pl.multiple_of(j * 8, 8)
@@ -104,12 +108,11 @@ def _kernel(ids_ref, feat_ref, out_ref, acc, *, K: int, n_blocks: int,
             idx = ids_ref[0, jj // 128, jj % 128]
             k = g % K
             base = pl.multiple_of((idx // 8) * 8, 8)
-            off = idx - base
+            off = (idx - base).astype(acc.dtype)
             win = acc[k, pl.ds(base, 8), :]
-            row = jnp.broadcast_to(win_f[g:g + 1, :].astype(jnp.float32),
-                                   (8, C))
-            upd = jnp.where(sub == off, row, 0.0).astype(acc.dtype)
-            acc[k, pl.ds(base, 8), :] = jnp.maximum(win, upd)
+            row = jnp.broadcast_to(win_f[g:g + 1, :], (8, C))
+            m = jnp.maximum(one - jnp.abs(sub - off), zero)
+            acc[k, pl.ds(base, 8), :] = jnp.maximum(win, row * m)
         return _
 
     jax.lax.fori_loop(0, BN // 8, body, 0)
