@@ -125,3 +125,44 @@ def test_parameter_count_parity():
     n = sum(int(np.prod(l.shape))
             for l in jax.tree_util.tree_leaves(variables["params"]))
     assert n == 3_927_114
+
+
+def test_multi_stream_eval_matches_independent_streams():
+    """make_eval_step on a folded Bt=2 batch (the parallel-stream eval
+    layout, round 3) must return per-stream scores identical to two
+    independent Bt=1 evaluations — streams share nothing but params."""
+    import dataclasses
+
+    import numpy as np
+
+    from streammos_tpu.config import get_config
+    from streammos_tpu.models import init_model, memory_shape
+    from streammos_tpu.models.stream_mos import featurize, tta_expand_folded
+    from streammos_tpu.train.trainer import make_eval_step
+
+    cfg = get_config("StreamMOS_tiny")
+    # f32 keeps the comparison exact up to op ordering
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, compute_dtype="float32"))
+    rng = np.random.RandomState(0)
+    N, T = 512, cfg.model.seq_num
+
+    model2, variables = init_model(jax.random.key(0), cfg.model, batch=8,
+                                   num_points=N, tta_fold=True)
+    model1 = type(model2)(cfg.model, tta_fold=True)
+    step2 = make_eval_step(model2, cfg)
+    step1 = make_eval_step(model1, cfg)
+
+    xyzi = jnp.asarray(rng.uniform(-18, 18, (2, T, N, 4)).astype(np.float32))
+    batch2 = featurize(tta_expand_folded(xyzi), cfg.model)
+    mem2 = jnp.zeros(memory_shape(cfg.model, 8), jnp.float32)
+    scores2, _, _ = step2(variables, batch2, mem2, jnp.asarray(False))
+    assert scores2.shape == (2, N, cfg.model.class_num)
+
+    for s in range(2):
+        b1 = featurize(tta_expand_folded(xyzi[s:s + 1]), cfg.model)
+        m1 = jnp.zeros(memory_shape(cfg.model, 4), jnp.float32)
+        s1, _, _ = step1(variables, b1, m1, jnp.asarray(False))
+        np.testing.assert_allclose(np.asarray(scores2[s]),
+                                   np.asarray(s1[0]), rtol=2e-4, atol=2e-5,
+                                   err_msg=f"stream {s}")
