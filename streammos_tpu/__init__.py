@@ -30,10 +30,16 @@ def _enable_compilation_cache() -> None:
 
         if getattr(jax.config, "jax_compilation_cache_dir", None):
             return  # user already configured a cache — leave it alone
-        cache = os.environ.get(
-            "STREAMMOS_JAX_CACHE",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache"))
+        repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        default = (
+            os.path.join(repo_dir, ".jax_cache")
+            # Only default-on for repo-style checkouts where we can actually
+            # write next to the package (not site-packages / read-only
+            # installs): require a writable parent that looks like this repo.
+            if os.access(repo_dir, os.W_OK)
+            and os.path.isdir(os.path.join(repo_dir, "tools"))
+            else "0")
+        cache = os.environ.get("STREAMMOS_JAX_CACHE", default)
         if cache and cache != "0":
             jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)

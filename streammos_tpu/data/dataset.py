@@ -303,7 +303,6 @@ class EvalDataset:
             "pad_length": pad_length,
             "seq_id": metas[0].seq_id,
             "file_id": metas[0].file_id,
-            "is_first": metas[0].file_id == "000000",
         }
         if cfg.with_bf_labels:
             out["bf_targets"] = bf_targets

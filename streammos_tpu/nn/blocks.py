@@ -128,6 +128,9 @@ class FoldedDense(nn.Module):
         row = 0
         for x in xs:
             x = x.astype(dt)
+            assert x.shape[-1] % self.fold == 0, (
+                f"folded input width {x.shape[-1]} not divisible by "
+                f"fold={self.fold}")
             cin = x.shape[-1] // self.fold
             k = kernel[row:row + cin].astype(dt)
             row += cin

@@ -189,6 +189,8 @@ def gather_history(frame_id: int, num_frames: int, frames_num_max: int = 8
     frames excluding the current one."""
     if frame_id >= frames_num_max:
         return list(range(frame_id - 1, frame_id - frames_num_max - 1, -1))
-    ids = list(range(frames_num_max))
+    # clip to the actual sequence length (the reference assumes >8-frame
+    # sequences; without the clip a short sequence indexes out of range)
+    ids = list(range(min(frames_num_max, num_frames)))
     ids.remove(frame_id)
     return ids

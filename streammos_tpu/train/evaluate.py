@@ -26,13 +26,24 @@ TTA = 4
 def stream_eval(cfg, dcfg, model, variables, *, with_refine: bool,
                 with_labels: bool, logger, dataset=None,
                 save_root: Optional[str] = None,
-                bf_root: Optional[str] = None) -> Optional[Dict[str, float]]:
+                bf_root: Optional[str] = None,
+                carry_across_sequences: bool = False,
+                ) -> Optional[Dict[str, float]]:
     """Run the streaming eval over ``dataset`` (or a fresh `EvalDataset`
     from ``dcfg``); returns the metric dict when ``with_labels``.
 
     `model` must be a tta_fold `StreamMOSNet`; `variables` its
     params/batch_stats (parameter trees are fold-agnostic). Label files are
     written only when ``save_root`` is given.
+
+    ``carry_across_sequences``: the reference val/test loops thread the
+    short-term memory across the WHOLE loader with only the very first frame
+    fresh — i.e. memory carries over sequence boundaries on the 11-21 test
+    split (`/root/reference/test_StreamMOS.py:66-71`, `val_StreamMOS.py:85`).
+    The default here (False) resets the memory at every sequence boundary —
+    a deliberate, documented deviation (a fresh sequence should not attend
+    to another sequence's features); pass True for bit-for-bit reference
+    boundary behavior (e.g. leaderboard-submission reproduction).
     """
     import jax
     import jax.numpy as jnp
@@ -65,8 +76,13 @@ def stream_eval(cfg, dcfg, model, variables, *, with_refine: bool,
     prev_seq = None
     loader = PrefetchLoader((ds[i] for i in range(len(ds))), depth=4)
     for sample in loader:
-        # a new sequence (or the stream start) resets the memory
-        is_first = sample["seq_id"] != prev_seq
+        # a new sequence (or the stream start) resets the memory; with
+        # carry_across_sequences only the stream start does (reference
+        # test-split behavior, test_StreamMOS.py:66-71)
+        if carry_across_sequences:
+            is_first = n_frames == 0
+        else:
+            is_first = sample["seq_id"] != prev_seq
         prev_seq = sample["seq_id"]
         batch = preprocess(jnp.asarray(sample["xyzi"]))
         scores, bf_scores, memory = eval_step(variables, batch, memory,

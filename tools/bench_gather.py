@@ -110,13 +110,6 @@ def main():
     print("windowed-vs-rows max diff:", float(check()), flush=True)
 
 
-if __name__ == "__main__":
-    if "patch" in sys.argv:
-        patch_concat()
-    else:
-        main()
-
-
 def patch_concat():
     """The sample.py trick at folded-TTA widths: pre-concat the 2x2
     neighborhood into 4*C-wide rows, ONE flat take per point, lane-sliced
@@ -184,3 +177,9 @@ def patch_concat():
     timeit("4 takes + FMA (256-lane rows)", mk_4take)
 
 
+
+if __name__ == "__main__":
+    if "patch" in sys.argv:
+        patch_concat()
+    else:
+        main()

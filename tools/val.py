@@ -65,7 +65,8 @@ def run_eval(cfg, args, with_refine: bool, logger):
     result = stream_eval(cfg, dcfg, model, variables, with_refine=with_refine,
                          with_labels=with_labels, logger=logger, dataset=ds,
                          save_root=save_root,
-                         bf_root=bf_root if with_refine else None)
+                         bf_root=bf_root if with_refine else None,
+                         carry_across_sequences=args.carry_across_sequences)
     if result is not None:
         record_metrics(result, epoch, save_path, logger)
     return result
@@ -81,6 +82,11 @@ def main():
     ap.add_argument("--epoch", type=int, default=None)
     ap.add_argument("--points", type=int, default=None,
                     help="override frame_point_num")
+    ap.add_argument("--carry-across-sequences", action="store_true",
+                    help="carry the short-term memory over sequence "
+                         "boundaries (reference test-split behavior, "
+                         "test_StreamMOS.py:66-71); default resets per "
+                         "sequence")
     args = ap.parse_args()
 
     import jax

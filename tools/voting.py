@@ -15,7 +15,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -26,7 +26,8 @@ from streammos_tpu.config import get_config
 from streammos_tpu.data import semantic_kitti as sk
 from streammos_tpu.metrics import MultiClassMetric
 from streammos_tpu.postprocess.voting import (crop_mask, gather_history,
-                                              instance_vote, voxel_vote)
+                                              instance_vote, voxel_vote,
+                                              voxel_vote_device)
 
 
 def _load_pred(path: str) -> np.ndarray:
@@ -43,7 +44,7 @@ def _frame(data_dir: str, pred_dir: str, fid: str):
 
 def process_frame(task):
     (data_dir, pred_dir, bf_dir, save_dir, fids, fid_idx, poses, voxel,
-     use_instance) = task
+     use_instance, use_device) = task
     fid = fids[fid_idx]
     cur_pts, cur_pred = _frame(data_dir, pred_dir, fid)
     inv = np.linalg.inv(poses[fid_idx])
@@ -62,8 +63,9 @@ def process_frame(task):
     local_pts = np.concatenate([hist_pts[hmask], cur_pts[cmask]])
     local_pred = np.concatenate([hist_pred[hmask], cur_pred[cmask]])
 
-    refined = voxel_vote(local_pts[:, :3], local_pred, cur_pts[cmask][:, :3],
-                         cur_pred[cmask], voxel)
+    vote = voxel_vote_device if use_device else voxel_vote
+    refined = vote(local_pts[:, :3], local_pred, cur_pts[cmask][:, :3],
+                   cur_pred[cmask], voxel)
     out = cur_pred.copy()
     out[cmask] = refined
 
@@ -103,7 +105,24 @@ def main():
     ap.add_argument("--split", default="val", choices=["val", "test"])
     ap.add_argument("--instance", action="store_true")
     ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--vote", default="auto",
+                    choices=["auto", "numpy", "device"],
+                    help="voxel-vote backend: 'device' runs the jitted "
+                         "segment-sum vote (postprocess/voting.py:101-140) "
+                         "on the accelerator, sharing ONE jax runtime across "
+                         "a thread pool; 'numpy' keeps the process pool "
+                         "(reference uses a GPU scatter + Pool(8), "
+                         "voxel_voting.py:55-75). 'auto' picks device when "
+                         "an accelerator is present.")
     args = ap.parse_args()
+
+    use_device = args.vote == "device"
+    if args.vote == "auto":
+        try:
+            import jax
+            use_device = jax.default_backend() not in ("cpu",)
+        except Exception:
+            use_device = False
 
     cfg = get_config(args.config)
     voxel = cfg.model.voxel
@@ -129,8 +148,14 @@ def main():
         save_dir = os.path.join(refined_root, seq, "predictions")
         tasks = [(data_dir, pred_dir,
                   bf_dir if os.path.isdir(bf_dir) else None, save_dir, fids, i,
-                  poses, voxel, args.instance) for i in range(len(fids))]
-        with ProcessPoolExecutor(max_workers=args.workers) as pool:
+                  poses, voxel, args.instance, use_device)
+                 for i in range(len(fids))]
+        # device mode must share the single jax runtime -> thread pool
+        # (threads overlap the numpy IO/align work with device execution);
+        # numpy mode keeps the reference's process pool
+        # (voxel_instance_voting.py:351-352)
+        pool_cls = ThreadPoolExecutor if use_device else ProcessPoolExecutor
+        with pool_cls(max_workers=args.workers) as pool:
             for i, _ in enumerate(pool.map(process_frame, tasks)):
                 if i % 200 == 0:
                     print(f"seq {seq}: {i}/{len(tasks)}")
