@@ -45,6 +45,13 @@ def make_train_step(model: StreamMOSNet, cfg: Config, tx,
 
     `windows` layout is documented at `streaming_loss`; per-iteration
     optimizer + scheduler stepping matches `train_StreamMOS.py:54-77`.
+
+    Donation is speed-neutral here: measured side by side with FULL
+    executable warmup (round 4, `tools/bench_train_campaign.py`: 0.2862
+    donated vs 0.2878 undonated s/step at bs1/130k pts on the v5e — the
+    apparent round-3 donate/no-donate gap was entirely the ~6-execution
+    warmup of a fresh executable, 0.448 -> 0.289 s/step). donate=True stays
+    the default for the params+opt-state memory it returns.
     """
 
     def step_fn(state: TrainState, windows: Dict[str, jax.Array],
