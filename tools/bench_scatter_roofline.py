@@ -1,6 +1,6 @@
 """Scatter roofline: decompose every known route to the full-grid scatter-max
-into its machine primitives and measure each on the chip, so "the ~19 ns/row
-XLA scatter is the architectural floor" is a table, not a claim.
+into its machine primitives and measure each on the chip, so "the ~17-21
+ns/row XLA scatter is the architectural floor" is a table, not a claim.
 
 Production shape (`models/stream_mos.py` full-grid scatter, VERDICT r3 #1):
 R = 3x160k = 480k point rows, C = 256 bf16 lanes (TTA-folded), 792,576
@@ -23,6 +23,11 @@ duplicate-combining consume, floored by [presorted_consume] — measured here
 with the sort ALREADY PAID, i.e. the best case any binning scheme could
 reach. If sorted-consume + movement floors >= [scatter_max], no two-pass
 design wins on this chip.
+
+Measurement notes: all big operands are generated ON DEVICE and passed as
+explicit jit ARGUMENTS — a closed-over device array is serialized into the
+remotely-compiled HLO on this backend (a 650 MB constant upload hangs the
+tunnel for tens of minutes).
 
 Usage: python tools/bench_scatter_roofline.py [case ...]
 """
@@ -63,20 +68,23 @@ def main():
 
     results = {}
 
-    def timeit(name, fn, init, K=4, reps=3):
+    def timeit(name, fn, ops, K=4, reps=4):
+        """fn(c, ops) -> c; ops is a dict of device arrays passed as REAL
+        jit arguments (never closure constants — see module docstring)."""
         if not want(name):
             return
         @jax.jit
-        def chained(c):
+        def chained(c, ops):
             for _ in range(K):
-                c = fn(c)
+                c = fn(c, ops)
             return c
-        c = chained(init)
-        float(c)  # compile + warm
+        init = jnp.zeros((), jnp.float32)
+        float(chained(init, ops))  # compile
+        float(chained(init, ops))  # executable warmup
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chained(init))
+            float(chained(init, ops))
             ts.append(time.perf_counter() - t0)
         ms = (np.median(ts) - rtt) / K * 1e3
         results[name] = ms
@@ -85,8 +93,9 @@ def main():
         return ms
 
     rng = np.random.default_rng(0)
-    feat = jnp.asarray(np.abs(rng.normal(size=(R, C))).astype(np.float32)
-                       ).astype(jnp.bfloat16)
+    # bulk arrays on device (the tunnel moves ~10s of MB/s host->device)
+    feat = jax.jit(lambda k: jnp.abs(
+        jax.random.normal(k, (R, C), jnp.bfloat16)))(jax.random.key(0))
     # production-like ids: skewed (near-range cells collect many points),
     # ~5% sentinel (out of range)
     raw = rng.zipf(1.35, R) % N_CELLS
@@ -95,102 +104,116 @@ def main():
     ids = jnp.asarray(ids_np)
 
     # --- A. the production XLA scatter-max (zeros init, FILL_OR_DROP)
-    def xla_scatter(c):
-        f = feat + c.astype(feat.dtype) * 0
-        i = (ids + c.astype(jnp.int32) * 0)
-        out = jnp.zeros((N_CELLS + 1, C), feat.dtype)
-        out = out.at[i].max(f, mode="drop")
-        return c + out[0, 0].astype(jnp.float32) * 0 + 1
-    timeit("A_xla_scatter_max", xla_scatter, jnp.zeros((), jnp.float32))
+    def xla_scatter(c, ops):
+        # every iteration's operand depends on c, or XLA CSEs the K chained
+        # copies of the op into one (measured: a K=32 chain of
+        # c-independent gathers runs in ~0 ms)
+        f = ops["feat"] + c.astype(jnp.bfloat16)
+        out = jnp.zeros((N_CELLS + 1, C), jnp.bfloat16)
+        out = out.at[ops["ids"]].max(f, mode="drop")
+        return c + out[0, 0].astype(jnp.float32) * 1e-9 + 1
+    timeit("A_xla_scatter_max", xla_scatter, {"feat": feat, "ids": ids})
 
-    # --- D. HBM traffic floor: stream in+out bytes once (copy kernel)
-    nbytes = R * C * 2 + (N_CELLS + 1) * C * 2
-    big = jnp.asarray(rng.normal(size=(nbytes // 512, 256)
-                                 ).astype(np.float32)).astype(jnp.bfloat16)
-    def hbm_copy(c):
-        return c + (big + c.astype(big.dtype) * 0)[0, 0].astype(jnp.float32) * 0 + 1
-    # the copy materializes `big + 0*c` = read + write of `nbytes`
-    timeit("D_hbm_copy_inout_bytes", hbm_copy, jnp.zeros((), jnp.float32))
+    # --- D. HBM traffic reference: one full read+write pass over the
+    # scatter's input bytes (the in+out floor is reported analytically from
+    # the measured copy bandwidth)
+    def hbm_read(c, ops):
+        # add+mean fuse into ONE read pass over feat (no write) — a clean
+        # single-pass streaming-read reference; nonlinearity prevents
+        # algebraic shortcuts
+        out = jnp.maximum(ops["feat"] + c.astype(jnp.bfloat16), 0.25)
+        return c + out.astype(jnp.float32).mean() * 1e-6 + 1
+    ms = timeit("D_hbm_read_feat", hbm_read, {"feat": feat}, K=64)
+    if ms:
+        bw = R * C * 2 / (ms * 1e-3) / 1e9
+        total = (R * C * 2 + (N_CELLS + 1) * C * 2) * 2  # read+write in+out
+        results["D_floor_inout_bytes_ms"] = total / (bw * 1e9) * 1e3
+        print(f"  -> streaming BW {bw:.0f} GB/s; in+out floor "
+              f"{results['D_floor_inout_bytes_ms']:.2f} ms", flush=True)
 
     # --- B/C movement primitives
-    perm_np = rng.permutation(R).astype(np.int32)
-    perm = jnp.asarray(perm_np)
+    perm = jnp.asarray(rng.permutation(R).astype(np.int32))
 
-    def gather_rows(c):
-        p = perm + c.astype(jnp.int32) * 0
-        out = jnp.take(feat + c.astype(feat.dtype) * 0, p, axis=0)
-        return c + out[0, 0].astype(jnp.float32) * 0 + 1
-    timeit("B_gather_rows_256L", gather_rows, jnp.zeros((), jnp.float32))
+    def gather_rows(c, ops):
+        p = (ops["perm"] + c.astype(jnp.int32)) % R  # still a bijection
+        out = jnp.take(ops["feat"], p, axis=0)
+        # mean forces every gathered row to be fetched (fuses with the
+        # gather: no output write, which is fine — we want the row-fetch cost)
+        return c + out.astype(jnp.float32).mean() * 1e-6 + 1
+    timeit("B_gather_rows_256L", gather_rows,
+           {"feat": feat, "perm": perm}, K=32)
 
-    def sort_kv(c):
-        k = ids + c.astype(jnp.int32) * 0
+    def sort_kv(c, ops):
+        k = ops["ids"] + c.astype(jnp.int32)
         ks, vs = lax.sort_key_val(k, jnp.arange(R, dtype=jnp.int32))
-        return c + (ks[0] + vs[0]).astype(jnp.float32) * 0 + 1
-    timeit("B_sort_keys_480k", sort_kv, jnp.zeros((), jnp.float32))
+        # middle elements can only come from actually sorting
+        return c + (ks[R // 2] + vs[R // 2]).astype(jnp.float32) * 1e-9 + 1
+    timeit("B_sort_keys_480k", sort_kv, {"ids": ids}, K=32)
 
-    def narrow_scatter(c):
+    def narrow_scatter(c, ops):
         # the permutation-invert primitive any binned design needs if it
         # scatters indices instead of sorting: 480k int32 single-lane rows
-        p = perm + c.astype(jnp.int32) * 0
+        p = (ops["perm"] + c.astype(jnp.int32)) % R
         out = jnp.zeros((R,), jnp.int32)
         out = out.at[p].set(jnp.arange(R, dtype=jnp.int32))
-        return c + out[0].astype(jnp.float32) * 0 + 1
-    timeit("C_narrow_scatter_int32", narrow_scatter,
-           jnp.zeros((), jnp.float32))
+        return c + out[R // 2].astype(jnp.float32) * 1e-9 + 1
+    timeit("C_narrow_scatter_int32", narrow_scatter, {"perm": perm},
+           K=32)
 
-    # --- B. pre-sorted Pallas consume (sort ALREADY PAID — the upper bound
-    # for ANY scheme that groups duplicates before combining)
+    # --- B. pre-sorted consume (sort ALREADY PAID — the upper bound for ANY
+    # scheme that groups duplicates before combining). Values need no
+    # relation to ids for timing; reuse feat.
     from streammos_tpu.ops.pallas_scatter import sorted_scatter_max
-    ids_sorted_np = np.sort(ids_np)
-    feats_sorted = jnp.asarray(
-        rng.normal(size=(R, C)).astype(np.float32)).astype(jnp.bfloat16)
-    ids_sorted = jnp.asarray(ids_sorted_np)
+    ids_sorted = jnp.asarray(np.sort(ids_np))
     n_cells_pad = -(-(N_CELLS + 1) // 1024) * 1024
 
-    def presorted_consume(c):
-        f = feats_sorted + c.astype(feats_sorted.dtype) * 0
-        out = sorted_scatter_max(f, ids_sorted, n_cells_pad)
-        return c + out[0, 0].astype(jnp.float32) * 0 + 1
+    def presorted_consume(c, ops):
+        f = ops["feat"] + c.astype(jnp.bfloat16)
+        out = sorted_scatter_max(f, ops["ids_sorted"], n_cells_pad)
+        return c + out[0, 0].astype(jnp.float32) * 1e-9 + 1
     timeit("B_presorted_pallas_consume", presorted_consume,
-           jnp.zeros((), jnp.float32))
+           {"feat": feat, "ids_sorted": ids_sorted})
 
-    # XLA segment-max over PRE-SORTED ids (XLA's own consume on grouped
-    # input — does sortedness help its scatter lowering?)
-    def presorted_xla(c):
-        f = feats_sorted + c.astype(feats_sorted.dtype) * 0
-        out = jnp.zeros((N_CELLS + 1, C), f.dtype)
-        out = out.at[ids_sorted].max(f, mode="drop")
-        return c + out[0, 0].astype(jnp.float32) * 0 + 1
+    # XLA's own scatter over PRE-SORTED ids — does grouping help its
+    # serialized lowering?
+    def presorted_xla(c, ops):
+        f = ops["feat"] + c.astype(jnp.bfloat16)
+        out = jnp.zeros((N_CELLS + 1, C), jnp.bfloat16)
+        out = out.at[ops["ids_sorted"]].max(f, mode="drop")
+        return c + out[0, 0].astype(jnp.float32) * 1e-9 + 1
     timeit("B_presorted_xla_scatter", presorted_xla,
-           jnp.zeros((), jnp.float32))
+           {"feat": feat, "ids_sorted": ids_sorted})
 
     # --- C. MXU rank-within-bin pass (the radix-binning "histogram via
     # one-hot matmul" that would replace the sort): 512 bins, blocked
     # tile-local ranks via triangular matmul + cross-tile offset cumsum.
     BINS = 512
     TILE = 1024
-    n_tiles = R // TILE
+    R_pad = -(-R // TILE) * TILE
+    n_tiles = R_pad // TILE
     tri = jnp.asarray(np.tril(np.ones((TILE, TILE), np.float32), -1)
                       ).astype(jnp.bfloat16)
 
-    def rank_mxu(c):
-        b = ((ids + c.astype(jnp.int32) * 0) % BINS).reshape(n_tiles, TILE)
+    def rank_mxu(c, ops):
+        ids_pad = jnp.pad(ops["ids"], (0, R_pad - R))
+        b = ((ids_pad + c.astype(jnp.int32)) % BINS
+             ).reshape(n_tiles, TILE)
         onehot = (b[..., None] == jnp.arange(BINS)[None, None, :]
                   ).astype(jnp.bfloat16)
-        # rank of each point within its bin inside the tile
+        # per-tile rank of each point within its bin: contract the strict
+        # lower-triangle against the one-hot along the tile axis
         local = lax.dot_general(
-            tri, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (TILE, n_tiles, BINS)? no:
-        # dot_general(tri (T,T), onehot (nt,T,B)) contracting tri dim1 with
-        # onehot dim1 -> (T, nt, B); select own bin
+            ops["tri"], onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (TILE, n_tiles, BINS)
         own = jnp.take_along_axis(
             local.transpose(1, 0, 2), b[..., None], axis=-1)[..., 0]
-        counts = onehot.sum(axis=1)  # (nt, BINS)
-        offs = jnp.cumsum(counts, axis=0) - counts  # exclusive, per tile
+        counts = onehot.sum(axis=1)  # (n_tiles, BINS)
+        offs = jnp.cumsum(counts, axis=0) - counts
         base = jnp.take_along_axis(offs, b, axis=-1)
         dst = (own + base).astype(jnp.int32)
-        return c + dst[0, 0].astype(jnp.float32) * 0 + 1
-    timeit("C_rank_within_bin_mxu", rank_mxu, jnp.zeros((), jnp.float32))
+        return c + dst.astype(jnp.float32).mean() * 1e-9 + 1
+    timeit("C_rank_within_bin_mxu", rank_mxu, {"ids": ids, "tri": tri},
+           K=16)
 
     print(json.dumps({"metric": "scatter_roofline_ms", "shape":
                       f"{R}x{C}bf16->{N_CELLS}", **{k: round(v, 2)
