@@ -101,55 +101,84 @@ def _pool_axis_taps(flip: bool):
 
 
 def conv_kernel_shared(k3: jax.Array, k_pair: int, T: int, C: int,
-                       dtype) -> jax.Array:
-    """(T, 2, P*PAIR*C, PAIR*Cout) merged conv kernels for the CENTER
-    column taps (shared window for both pair members): index [t, rs] is
-    the kernel of row-slot rs (0 = off-row, 1 = center rows); rows follow
-    the pair tile's channel layout p*(PAIR*C) + vp*C + c, columns
-    vp*Cout + co.
+                       dtype) -> Tuple[jax.Array, jax.Array, int]:
+    """K-COMPACTED merged conv kernels for the CENTER column taps (shared
+    window for both pair members), as (kcs0, kcs1, p0):
 
-    k3: (3, 3, T*C, Cout) full-res kernel, frame-major channels
-    (`nn/blocks.py:DownSample2D` frame-split)."""
+    * kcs1 (T, P*PAIR*C, PAIR*Cout) — the two center-ROW taps; their four
+      (row-phase, col-phase) combinations touch every phase, so the k
+      dimension stays the full phase stack;
+    * kcs0 (T, 2*PAIR*C, PAIR*Cout) — the single off-row tap; its row
+      phase is FIXED by the pair's flip (rp0), so only the two phases
+      {2*rp0, 2*rp0+1} carry nonzero rows. Emitting just that contiguous
+      (and lane-tile-aligned: 2*PAIR*C = 256) phase pair halves this
+      matmul's k — the "k-compaction" headroom the round-2 kernel left
+      (~50% of its conv k-tiles multiplied structural zeros).
+      ``p0 = 2*rp0`` is the phase offset of the compacted slice.
+
+    Rows follow the (sliced) channel layout p*(PAIR*C) + vp*C + c, columns
+    vp*Cout + co. k3: (3, 3, T*C, Cout) full-res kernel, frame-major
+    channels (`nn/blocks.py:DownSample2D` frame-split)."""
     fx = bool(k_pair)
     Cout = k3.shape[-1]
-    out = jnp.zeros((T, 2, P_PHASE * PAIR * C, PAIR * Cout), jnp.float32)
+    rp0 = _axis_taps(fx)[0][2]
+    p0 = 2 * rp0
+    kcs0 = jnp.zeros((T, 2 * PAIR * C, PAIR * Cout), jnp.float32)
+    kcs1 = jnp.zeros((T, P_PHASE * PAIR * C, PAIR * Cout), jnp.float32)
     for vp in range(PAIR):
         fy = bool(vp)
         for (rs, _ro, rp, rk) in _axis_taps(fx):
             for (cs, _co, cp, ck) in _axis_taps(fy):
                 if cs != 1:
                     continue
-                base = (2 * rp + cp) * PAIR * C + vp * C
                 for t in range(T):
                     blk = k3[rk, ck, t * C:(t + 1) * C].astype(jnp.float32)
-                    out = out.at[t, rs, base:base + C,
-                                 vp * Cout:(vp + 1) * Cout].add(blk)
-    return out.astype(dtype)
+                    if rs == 0:
+                        base = (2 * rp + cp - p0) * PAIR * C + vp * C
+                        kcs0 = kcs0.at[t, base:base + C,
+                                       vp * Cout:(vp + 1) * Cout].add(blk)
+                    else:
+                        base = (2 * rp + cp) * PAIR * C + vp * C
+                        kcs1 = kcs1.at[t, base:base + C,
+                                       vp * Cout:(vp + 1) * Cout].add(blk)
+    return kcs0.astype(dtype), kcs1.astype(dtype), p0
 
 
 def conv_kernel_split(k3: jax.Array, k_pair: int, T: int, C: int,
-                      dtype) -> jax.Array:
-    """(T, 2, PAIR, P*PAIR*C, PAIR*Cout) conv kernels for the single
-    OFF-COLUMN tap, whose +-1 column window differs per pair member:
-    index [t, rs, vp]. The output columns are the full pair block with
-    zeros on the sibling's half, so the matmul result accumulates into
-    the shared n = PAIR*Cout conv sum without any lane placement op (the
-    n=32 matmul pads to 128 MXU lanes either way)."""
+                      dtype) -> Tuple[jax.Array, Tuple]:
+    """K-COMPACTED conv kernels for the single OFF-COLUMN tap, whose +-1
+    column window differs per pair member.
+
+    Each (row-tap ti, pair-member vp) combination touches exactly ONE
+    phase, so its matmul needs only that phase's (lane-tile-aligned)
+    PAIR*C block of the input — k = PAIR*C = 128 instead of the full
+    P*PAIR*C = 512 (4x fewer k-tiles on this family than the round-2
+    layout). Returns:
+
+    * kernel (T, 3, PAIR, PAIR*C, PAIR*Cout) indexed [t, ti, vp], rows =
+      the phase block's channel layout (zeros on the sibling vp's half),
+      columns = the full pair block with zeros on the sibling's half (the
+      result accumulates into the shared n = PAIR*Cout sum in place);
+    * taps: per (ti, vp) static metadata (row_offset, col_offset, phase)
+      for the kernel's input slicing."""
     fx = bool(k_pair)
     Cout = k3.shape[-1]
-    out = jnp.zeros((T, 2, PAIR, P_PHASE * PAIR * C, PAIR * Cout),
-                    jnp.float32)
-    for vp in range(PAIR):
-        fy = bool(vp)
-        (cs0, _co, cp, ck) = _axis_taps(fy)[0]
-        assert cs0 == 0
-        for (rs, _ro, rp, rk) in _axis_taps(fx):
-            base = (2 * rp + cp) * PAIR * C + vp * C
+    out = jnp.zeros((T, 3, PAIR, PAIR * C, PAIR * Cout), jnp.float32)
+    taps = []
+    for ti, (rs, ro, rp, rk) in enumerate(_axis_taps(fx)):
+        row = []
+        for vp in range(PAIR):
+            fy = bool(vp)
+            (cs0, co, cp, ck) = _axis_taps(fy)[0]
+            assert cs0 == 0
+            ph = 2 * rp + cp
+            row.append((ro, co, ph))
             for t in range(T):
                 blk = k3[rk, ck, t * C:(t + 1) * C].astype(jnp.float32)
-                out = out.at[t, rs, vp, base:base + C,
+                out = out.at[t, ti, vp, vp * C:(vp + 1) * C,
                              vp * Cout:(vp + 1) * Cout].add(blk)
-    return out.astype(dtype)
+        taps.append(tuple(row))
+    return out.astype(dtype), tuple(taps)
 
 
 def pool_kernel(k1: jax.Array, T: int, C: int, dtype) -> jax.Array:
@@ -166,9 +195,10 @@ def pool_kernel(k1: jax.Array, T: int, C: int, dtype) -> jax.Array:
     return out.astype(dtype)
 
 
-def _pair_kernel(g_hbm, kcs_ref, kcx_ref, kp_ref, aff_ref, y_ref, gbuf,
-                 zacc, cacc, sems, *, Bt: int, T: int, Hh: int, Wh: int,
-                 C: int, Cout: int, TR: int, k_pair: int):
+def _pair_kernel(g_hbm, kcs0_ref, kcs1_ref, kcx_ref, kp_ref, aff_ref, y_ref,
+                 gbuf, zacc, cacc, sems, *, Bt: int, T: int, Hh: int,
+                 Wh: int, C: int, Cout: int, TR: int, k_pair: int,
+                 p0: int, xtaps: Tuple):
     """One variant pair's fused DownSample2D over the padded phase grid.
 
     Grid (Bt, n_row_tiles, T) — frames innermost, with f32 accumulators
@@ -178,8 +208,11 @@ def _pair_kernel(g_hbm, kcs_ref, kcx_ref, kp_ref, aff_ref, y_ref, gbuf,
     Refs: g_hbm (Bt*T, P, Hh+2, Wh, V*C) PHASE-OUTER in ANY/HBM (the
     layout the scatter's flat output bitcasts to for free; the pair's
     128-channel block is a lane-tile-aligned slice of each phase plane);
-    kcs (T, 2, P*PAIR*C, PAIR*Cout) shared-window conv kernels VMEM;
-    kcx (T, 2, PAIR, P*PAIR*C, PAIR*Cout) off-column conv kernels VMEM;
+    kcs0 (T, 2*PAIR*C, PAIR*Cout) k-compacted off-row center-column conv
+    kernel (phase pair p0, p0+1 only) + kcs1 (T, P*PAIR*C, PAIR*Cout)
+    center-rows kernel, VMEM;
+    kcx (T, 3, PAIR, PAIR*C, PAIR*Cout) k-compacted off-column conv
+    kernels (one phase block per (row-tap, member), `xtaps` metadata) VMEM;
     kp (T, PAIR*C, PAIR*Cout) pool 1x1 VMEM;
     aff (4, PAIR*Cout) f32 VMEM — rows (conv scale, conv bias, pool
     scale, pool bias), each variant-tiled;
@@ -250,22 +283,32 @@ def _pair_kernel(g_hbm, kcs_ref, kcx_ref, kp_ref, aff_ref, y_ref, gbuf,
 
     r_off = +1 if fx else -1
     conv = cacc[:]
-    # center-column taps: both pair members share the window -> n = PAIR*Cout
-    for rs, rstart in ((0, 1 + r_off), (1, 1)):
-        rows = gbuf[slot, rstart:rstart + TR, GPAD:GPAD + Wh, :]
-        conv += jax.lax.dot_general(
-            rows.reshape(TR * Wh, Cin), kcs_ref[t, rs],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    # off-column tap: the +-1 column window differs per member (the
-    # kernel's zero sibling-columns land the n=32 result in place)
-    for vp in range(PAIR):
-        c_off = +1 if vp else -1
-        for rs, rstart in ((0, 1 + r_off), (1, 1)):
-            rows = gbuf[slot, rstart:rstart + TR,
-                        GPAD + c_off:GPAD + c_off + Wh, :]
+    # center-column taps: both pair members share the window -> n = PAIR*Cout.
+    # Off-row tap (fixed row phase): k-compacted to its phase PAIR — a
+    # lane-tile-aligned 2*PAIR*C slice of the tile
+    rows0 = gbuf[slot, 1 + r_off:1 + r_off + TR, GPAD:GPAD + Wh,
+                 p0 * PAIR * C:(p0 + 2) * PAIR * C]
+    conv += jax.lax.dot_general(
+        rows0.reshape(TR * Wh, 2 * PAIR * C), kcs0_ref[t],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # center-row taps touch every phase: full-k matmul
+    rows1 = gbuf[slot, 1:1 + TR, GPAD:GPAD + Wh, :]
+    conv += jax.lax.dot_general(
+        rows1.reshape(TR * Wh, Cin), kcs1_ref[t],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # off-column taps: each (row-tap, member) reads exactly ONE phase
+    # block (k = PAIR*C, lane-tile aligned); the kernel's zero
+    # sibling-rows/columns land the result in the shared n = PAIR*Cout sum
+    for ti in range(3):
+        for vp in range(PAIR):
+            ro, co, ph = xtaps[ti][vp]
+            rows = gbuf[slot, 1 + ro:1 + ro + TR,
+                        GPAD + co:GPAD + co + Wh,
+                        ph * PAIR * C:(ph + 1) * PAIR * C]
             conv += jax.lax.dot_general(
-                rows.reshape(TR * Wh, Cin), kcx_ref[t, rs, vp],
+                rows.reshape(TR * Wh, PAIR * C), kcx_ref[t, ti, vp],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     cacc[:] = conv
@@ -372,19 +415,22 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
     kp = pool_kernel(k1, T, C, dt)
     outs = []
     for k_pair in range(V_TTA // PAIR):
-        kcs = conv_kernel_shared(k3, k_pair, T, C, dt)
-        kcx = conv_kernel_split(k3, k_pair, T, C, dt)
+        kcs0, kcs1, p0 = conv_kernel_shared(k3, k_pair, T, C, dt)
+        kcx, xtaps = conv_kernel_split(k3, k_pair, T, C, dt)
         kernel = functools.partial(
             _pair_kernel, Bt=Bt, T=T, Hh=Hh, Wh=Wh, C=C, Cout=Cout,
-            TR=TR, k_pair=k_pair)
+            TR=TR, k_pair=k_pair, p0=p0, xtaps=xtaps)
         y = pl.pallas_call(
             kernel,
             grid=(Bt, n_tiles, T),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((T, 2, Cin, PC), lambda b, i, t: (0, 0, 0, 0),
+                pl.BlockSpec((T, 2 * PAIR * C, PC),
+                             lambda b, i, t: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((T, 2, PAIR, Cin, PC),
+                pl.BlockSpec((T, Cin, PC), lambda b, i, t: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((T, 3, PAIR, PAIR * C, PC),
                              lambda b, i, t: (0, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((T, PAIR * C, PC),
@@ -409,7 +455,7 @@ def fused_header_tta(g_phase: jax.Array, k3: jax.Array, k1: jax.Array,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
-        )(g_phase, kcs, kcx, kp, aff)
+        )(g_phase, kcs0, kcs1, kcx, kp, aff)
         # split the pair back out of the channel axis
         outs.append(y[..., :Cout])
         outs.append(y[..., Cout:])
