@@ -68,13 +68,13 @@ def skewed_scan_bank(rng, bank, T, N):
     return np.stack([x, y, z, i], axis=-1).astype(np.float32)
 
 
-def measure_stream(jax, jnp, model, variables, m, bank_np, F=16):
+def measure_stream(jax, jnp, model, variables, m, bank_np, F=16, bt=1):
     from streammos_tpu.models import memory_shape
     from streammos_tpu.models.stream_mos import (featurize, stage_forward,
                                                  tta_expand_folded,
                                                  tta_scores)
 
-    TTA = 4
+    TTA = 4 * bt
     BANK = bank_np.shape[0]
     bank = jnp.asarray(bank_np)
 
@@ -227,6 +227,57 @@ def bench_host_pipeline():
         return (pooled if workers > 0 else inline), inline, workers
 
 
+def bench_voting(jax, jnp):
+    """Long-term-memory voxel vote at FULL production capacity
+    (512x512x30 grid, 9-frame local map ~1.2M voting points): device
+    (jitted segment-sum, `postprocess/voting.py:voxel_vote_device`) vs
+    NumPy (`np.add.at`) — the backends `tools/voting.py --vote` selects
+    between (reference votes on GPU, voxel_voting.py:55-75)."""
+    from streammos_tpu.config import VoxelConfig
+    from streammos_tpu.postprocess.voting import voxel_vote, voxel_vote_device
+
+    rng = np.random.default_rng(0)
+    voxel = VoxelConfig()  # production (512, 512, 30)
+    n_local, n_cur = 1_200_000, 120_000
+    local = np.stack([rng.uniform(-49.9, 49.9, n_local),
+                      rng.uniform(-49.9, 49.9, n_local),
+                      rng.uniform(-3.9, 1.9, n_local)], axis=-1)
+    local_preds = rng.integers(0, 3, n_local).astype(np.int32)
+    cur = local[:n_cur]
+    cur_preds = local_preds[:n_cur].copy()
+
+    t0 = time.perf_counter()
+    ref = voxel_vote(local, local_preds, cur, cur_preds, voxel)
+    t_np = time.perf_counter() - t0
+
+    dev = voxel_vote_device(local, local_preds, cur, cur_preds, voxel)
+    t0 = time.perf_counter()
+    dev = voxel_vote_device(local, local_preds, cur, cur_preds, voxel)
+    t_dev = time.perf_counter() - t0
+    assert np.array_equal(ref, dev), "device vote diverged from numpy"
+
+    # compute-only: the jitted vote over device-resident arrays (on a real
+    # TPU host the H2D is PCIe-cheap; over this sandbox's RPC tunnel the
+    # ~32 MB upload dominates t_dev)
+    from streammos_tpu.postprocess.voting import _device_vote_fn
+    size = voxel.bev_shape
+    n_cells = size[0] * size[1] * size[2]
+    fn = _device_vote_fn(n_cells, 3)
+    cap = 1 << 21
+    args = [jnp.asarray(np.resize(x, cap).astype(d)) for x, d in (
+        (np.random.default_rng(1).integers(0, n_cells, cap), np.int32),
+        (local_preds, np.int32), (np.ones(cap), bool),
+        (np.random.default_rng(2).integers(0, n_cells, cap), np.int32),
+        (np.ones(cap), bool), (cur_preds, np.int32))]
+    np.asarray(fn(*args))  # compile + warm
+    np.asarray(fn(*args))
+    t0 = time.perf_counter()
+    out = fn(*args)
+    _ = np.asarray(out[:8])
+    t_compute = time.perf_counter() - t0
+    return t_np, t_dev, t_compute
+
+
 def main():
     import jax
 
@@ -286,6 +337,25 @@ def main():
         print(json.dumps({"metric": "host_pipeline_seconds_per_sample",
                           "error": str(e)[:200]}), flush=True)
 
+    try:
+        note("voxel vote (512x512x30, device vs numpy)...")
+        t_np, t_dev, t_compute = bench_voting(jax, jnp)
+        print(json.dumps({
+            "metric": "voxel_vote_seconds",
+            "value": round(t_dev, 4),
+            "unit": "s/frame (device segment-sum vote, 512x512x30, "
+                    "1.2M local pts; warm jit, includes tunnel H2D)",
+            "numpy_seconds": round(t_np, 4),
+            "device_compute_seconds": round(t_compute, 4),
+            "note": "over this sandbox's RPC tunnel the ~32MB upload "
+                    "dominates; on a PCIe-attached TPU host the device "
+                    "path is compute-bound",
+            "vs_baseline": None,
+        }), flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "voxel_vote_seconds",
+                          "error": str(e)[:200]}), flush=True)
+
     # tta_fold: the 4 flip variants share one scatter/gather index structure
     # (ops/tta_fold.py), so the TTA fan rides the channel axis of the
     # row-count-bound ops instead of quadrupling their rows.
@@ -308,6 +378,25 @@ def main():
         print(json.dumps({
             "metric": "streaming_inference_fps_per_chip_uniform_bank",
             "error": str(e)[:200]}), flush=True)
+
+    try:
+        note("multi-stream serving (Bt=2)...")
+        model2, variables2 = init_model(jax.random.key(0), m, batch=8,
+                                        num_points=N, tta_fold=True)
+        bank2 = np.concatenate(
+            [skewed_scan_bank(rng, BANK, T, N) for _ in range(2)], axis=1)
+        fps2 = measure_stream(jax, jnp, model2, variables2, m, bank2, bt=2)
+        print(json.dumps({
+            "metric": "multi_stream_fps_per_chip_bt2",
+            "value": round(2 * fps2, 3),
+            "unit": "total frames/s across 2 parallel streams (TTAx4 each, "
+                    "160k pts; serving saturation point, docs/DESIGN.md)",
+            "vs_baseline": round(2 * fps2 / 10.0, 3),
+        }), flush=True)
+        del model2, variables2, bank2
+    except Exception as e:
+        print(json.dumps({"metric": "multi_stream_fps_per_chip_bt2",
+                          "error": str(e)[:200]}), flush=True)
 
     try:
         fps = measure_stream(jax, jnp, model, variables, m,
