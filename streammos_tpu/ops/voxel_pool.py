@@ -213,24 +213,46 @@ def _fwd_impl(feat, inds, out_size, scale_rate, impl, nonneg=False,
         out = pooled.reshape((B,) + grid_shape + (C,))
     elif nonneg:
         # feat >= 0: scatter-max straight into zeros — empty cells keep the
-        # 0 fill; no -inf sentinel pass, no isfinite select
+        # 0 fill; no -inf sentinel pass, no isfinite select.
+        #
+        # Lane-pad the feature width to 128 when the flat grid is large:
+        # at C < 128 and B*num_cells >= 2^20, XLA's layout assignment flips
+        # the scatter operand/result to the TRANSPOSED {0,1} layout (to
+        # dodge the 2x lane padding of the row-major form) and every row
+        # update becomes strided — measured 187 ns/row vs 15 ns/row on v5e
+        # (round 4; this was the whole bs2 train-step superlinearity,
+        # 3 x 140 ms of a 1.10 s step). Scatters are row-count bound, so
+        # the wider rows are free; the zero columns scatter onto zeros.
+        C_pad = 128 if (C < 128 and B * num_cells >= 1 << 20) else C
+        f = feat.reshape(-1, C)
+        if C_pad != C:
+            f = jnp.pad(f, ((0, 0), (0, C_pad - C)))
         dnums = jax.lax.ScatterDimensionNumbers(
             update_window_dims=(1,), inserted_window_dims=(0,),
             scatter_dims_to_operand_dims=(0,))
         pooled = jax.lax.scatter_max(
-            jnp.zeros((B * num_cells, C), feat.dtype),
-            flat_global.reshape(-1, 1), feat.reshape(-1, C), dnums,
+            jnp.zeros((B * num_cells, C_pad), feat.dtype),
+            flat_global.reshape(-1, 1), f, dnums,
             indices_are_sorted=False, unique_indices=False,
             mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+        if C_pad != C:
+            pooled = pooled[:, :C]
         out = pooled.reshape((B,) + grid_shape + (C,))
     else:
         # one flat segment_max over all batches (the vmap'd form lowers to
-        # the same scatter but the flat ids let XLA fuse the offset math)
-        pooled = jax.ops.segment_max(feat.reshape(-1, C),
+        # the same scatter but the flat ids let XLA fuse the offset math).
+        # Same large-grid lane-padding guard as the nonneg path (see above).
+        C_pad = 128 if (C < 128 and B * num_cells >= 1 << 20) else C
+        f = feat.reshape(-1, C)
+        if C_pad != C:
+            f = jnp.pad(f, ((0, 0), (0, C_pad - C)))
+        pooled = jax.ops.segment_max(f,
                                      flat_global.reshape(-1),
                                      num_segments=B * num_cells + 1,
                                      indices_are_sorted=False,
                                      unique_indices=False)[:-1]
+        if C_pad != C:
+            pooled = pooled[:, :C]
         pooled = jnp.where(jnp.isfinite(pooled), pooled,
                            jnp.zeros((), feat.dtype))
         out = pooled.reshape((B,) + grid_shape + (C,))

@@ -62,7 +62,7 @@ def profile_eval(trace_dir):
             float(s)
 
 
-def profile_train(trace_dir):
+def profile_train(trace_dir, B=1):
     import jax
     import jax.numpy as jnp
     from streammos_tpu.config import get_config
@@ -72,7 +72,7 @@ def profile_train(trace_dir):
 
     cfg = get_config("StreamMOS")
     m = cfg.model
-    B, S, T, N = 1, 3, m.seq_num, cfg.train.frame_point_num
+    S, T, N = 3, m.seq_num, cfg.train.frame_point_num
     model, variables = init_model(jax.random.key(0), m, batch=B, num_points=N)
     tx, _ = build_optimizer(cfg.optimize, per_epoch_iters=100)
     state = create_train_state(variables, tx)
@@ -126,7 +126,11 @@ def report(trace_path, n_iters, top=45):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "eval"
-    trace_dir = f"/tmp/smtrace_{mode}"
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    trace_dir = f"/tmp/smtrace_{mode}{bs if mode == 'train' else ''}"
     n = 1 if mode == "train" else 2
-    (profile_train if mode == "train" else profile_eval)(trace_dir)
+    if mode == "train":
+        profile_train(trace_dir, B=bs)
+    else:
+        profile_eval(trace_dir)
     report(newest_trace(trace_dir), n)
