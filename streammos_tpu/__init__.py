@@ -35,8 +35,11 @@ def _enable_compilation_cache() -> None:
             os.path.join(repo_dir, ".jax_cache")
             # Only default-on for repo-style checkouts where we can actually
             # write next to the package (not site-packages / read-only
-            # installs): require a writable parent that looks like this repo.
+            # installs): require a writable parent carrying THIS repo's
+            # specific markers (bench.py + tools/), not just any dir with a
+            # sibling `tools` directory.
             if os.access(repo_dir, os.W_OK)
+            and os.path.isfile(os.path.join(repo_dir, "bench.py"))
             and os.path.isdir(os.path.join(repo_dir, "tools"))
             else "0")
         cache = os.environ.get("STREAMMOS_JAX_CACHE", default)

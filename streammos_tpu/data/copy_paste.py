@@ -205,8 +205,10 @@ class SequenceCutPaste:
                 angles = None
                 if angle_cache is not None:
                     if angle_cache[t] is None:
-                        _, phi, theta = _angles(scans[t])
-                        angle_cache[t] = (phi, theta)
+                        # (named s_* so they can't shadow the rotation angle
+                        # `theta` from the enclosing loop)
+                        _, s_phi, s_theta = _angles(scans[t])
+                        angle_cache[t] = (s_phi, s_theta)
                     angles = angle_cache[t]
                 checks.append(self._valid_position(scans[t], raw_labels[t],
                                                    aug[t][0], angles))

@@ -73,3 +73,51 @@ def test_gather_history():
     assert gather_history(10, 100) == [9, 8, 7, 6, 5, 4, 3, 2]
     assert gather_history(3, 100) == [0, 1, 2, 4, 5, 6, 7]
     assert gather_history(0, 100) == [1, 2, 3, 4, 5, 6, 7]
+    # a 1-frame sequence has no history at all
+    assert gather_history(0, 1) == []
+
+
+def test_voting_cli_single_frame_sequence(tmp_path):
+    """The CLI's per-frame worker must fall back to current-frame-only voting
+    when gather_history returns no ids (ADVICE r4: np.concatenate([]) raised)."""
+    import sys
+    sys.path.insert(0, "tools")
+    import voting as voting_cli
+
+    from streammos_tpu.data import semantic_kitti as sk
+
+    rng = np.random.default_rng(0)
+    data_dir = tmp_path / "velodyne"
+    pred_dir = tmp_path / "predictions"
+    save_dir = tmp_path / "refined"
+    data_dir.mkdir()
+    pred_dir.mkdir()
+    pts = np.concatenate([rng.uniform(-40, 40, (500, 2)),
+                          rng.uniform(-3.5, 1.5, (500, 1)),
+                          rng.uniform(0, 1, (500, 1))], axis=1).astype(np.float32)
+    pts.tofile(data_dir / "000000.bin")
+    inv_lut = sk.label_lut(sk.LEARNING_MAP_INV)
+    pred = rng.integers(0, 3, 500)
+    inv_lut[pred].astype(np.uint32).tofile(pred_dir / "000000.label")
+
+    task = (str(data_dir), str(pred_dir), None, str(save_dir), ["000000"], 0,
+            [np.eye(4)], VoxelConfig(bev_shape=(64, 64, 16)), False, False)
+    assert voting_cli.process_frame(task) == "000000"
+    out = np.fromfile(save_dir / "000000.label", dtype=np.uint32)
+    assert out.shape == (500,)
+
+
+def test_voting_cli_defaults():
+    """'auto' resolves to the measured numpy default (BENCH_r04: device vote
+    loses per frame even before H2D) and test-split seq dirs are zero-padded
+    like the val path (data/dataset.py)."""
+    import sys
+    sys.path.insert(0, "tools")
+    import voting as voting_cli
+
+    assert voting_cli.resolve_vote_backend("auto") is False
+    assert voting_cli.resolve_vote_backend("numpy") is False
+    assert voting_cli.resolve_vote_backend("device") is True
+    assert voting_cli.split_sequences("val") == ["08"]
+    assert voting_cli.split_sequences("test") == [
+        "11", "12", "13", "14", "15", "16", "17", "18", "19", "20", "21"]

@@ -55,8 +55,13 @@ def process_frame(task):
         pts = geometry.np_transform(pts, inv @ poses[hid])
         hist_pts.append(pts)
         hist_pred.append(pred)
-    hist_pts = np.concatenate(hist_pts)
-    hist_pred = np.concatenate(hist_pred)
+    if hist_pts:
+        hist_pts = np.concatenate(hist_pts)
+        hist_pred = np.concatenate(hist_pred)
+    else:
+        # 1-frame sequence: no history — vote on the current frame alone
+        hist_pts = np.zeros((0, cur_pts.shape[1]), cur_pts.dtype)
+        hist_pred = np.zeros((0,), cur_pred.dtype)
 
     hmask = crop_mask(hist_pts, voxel)
     cmask = crop_mask(cur_pts, voxel)
@@ -97,6 +102,20 @@ def run_metric(data_root: str, refined_root: str, seq: str = "08"):
     return result
 
 
+def resolve_vote_backend(vote: str) -> bool:
+    """Map the --vote choice to use_device. 'auto' follows the measurement
+    (BENCH_r04: device compute 0.413 s/frame vs numpy 0.376, before H2D):
+    numpy."""
+    return vote == "device"
+
+
+def split_sequences(split: str):
+    """Sequence dirs per split, zero-padded like the dataset paths
+    (data/dataset.py uses rjust(2, '0') throughout)."""
+    return (["08"] if split == "val"
+            else [str(i).rjust(2, "0") for i in range(11, 22)])
+
+
 def main():
     ap = argparse.ArgumentParser(description="voxel / instance voting")
     ap.add_argument("--config", default="StreamMOS")
@@ -107,22 +126,24 @@ def main():
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--vote", default="auto",
                     choices=["auto", "numpy", "device"],
-                    help="voxel-vote backend: 'device' runs the jitted "
-                         "segment-sum vote (postprocess/voting.py:101-140) "
-                         "on the accelerator, sharing ONE jax runtime across "
-                         "a thread pool; 'numpy' keeps the process pool "
-                         "(reference uses a GPU scatter + Pool(8), "
-                         "voxel_voting.py:55-75). 'auto' picks device when "
-                         "an accelerator is present.")
+                    help="voxel-vote backend: 'numpy' (the measured default "
+                         "behind 'auto') votes in a process pool like the "
+                         "reference's Pool(8) (voxel_instance_voting.py:"
+                         "351-352); 'device' runs the jitted segment-sum vote "
+                         "(postprocess/voting.py:101-140) on the accelerator, "
+                         "sharing ONE jax runtime across a thread pool. "
+                         "Measured on the v5e (BENCH_r04): device compute "
+                         "0.413 s/frame vs numpy 0.376 — numpy wins per frame "
+                         "even before H2D transfer (which adds ~1 s over this "
+                         "sandbox's RPC tunnel; a PCIe-attached host pays far "
+                         "less but the compute still loses), and the process "
+                         "pool parallelizes across frames where the device "
+                         "path serializes through one runtime. 'auto' "
+                         "therefore resolves to numpy; pass --vote device "
+                         "only after measuring a win on your host.")
     args = ap.parse_args()
 
-    use_device = args.vote == "device"
-    if args.vote == "auto":
-        try:
-            import jax
-            use_device = jax.default_backend() not in ("cpu",)
-        except Exception:
-            use_device = False
+    use_device = resolve_vote_backend(args.vote)
 
     cfg = get_config(args.config)
     voxel = cfg.model.voxel
@@ -132,8 +153,7 @@ def main():
     refined_root = os.path.join(save_path, f"refine_{args.split}_results",
                                 "sequences")
 
-    seqs = ["08"] if args.split == "val" else [str(i) for i in
-                                               range(11, 22)]
+    seqs = split_sequences(args.split)
     for seq in seqs:
         data_dir = os.path.join(args.data, seq, "velodyne")
         pred_dir = os.path.join(pred_root, seq, "predictions")
