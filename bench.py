@@ -108,15 +108,15 @@ def measure_stream(jax, jnp, model, variables, m, bank_np, F=16, bt=1):
     return 1.0 / per_frame
 
 
-def bench_train_step(jax, jnp, cfg):
+def bench_train_step(jax, jnp, cfg, B=1):
     """Full jitted stage-1 step (3-window streaming BPTT, OHEM + Lovasz +
     3 aux heads, in-graph BEV label rasterization, SGD-nesterov), per-chip
-    batch 1 at 130k points — the training half of the reference recipe."""
+    batch B at 130k points — the training half of the reference recipe."""
     from streammos_tpu.models import init_model
     from streammos_tpu.train import (build_optimizer, create_train_state,
                                      make_train_step)
 
-    B, S, T, N = 1, 3, cfg.model.seq_num, cfg.train.frame_point_num
+    S, T, N = 3, cfg.model.seq_num, cfg.train.frame_point_num
     model, variables = init_model(jax.random.key(0), cfg.model, batch=B,
                                   num_points=N)
     tx, _ = build_optimizer(cfg.optimize, per_epoch_iters=100)
@@ -314,6 +314,23 @@ def main():
                           "error": str(e)[:200]}), flush=True)
 
     try:
+        # regression check for the round-4 XLA scatter layout-cliff fix
+        # (voxel_pool lane-pad guard): bs2 was 1.103 s/step before, 0.706
+        # after; a regression to superlinear row cost shows here first
+        note("train step bs2 (layout-cliff regression check)...")
+        dt2 = bench_train_step(jax, jnp, cfg, B=2)
+        print(json.dumps({
+            "metric": "train_step_seconds_bs2",
+            "value": round(dt2, 4),
+            "unit": "s/step (stage1, bs2/chip — 2 samples/step)",
+            "samples_per_s": round(2 / dt2, 3),
+            "vs_baseline": None,
+        }), flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "train_step_seconds_bs2",
+                          "error": str(e)[:200]}), flush=True)
+
+    try:
         note("host pipeline (production shapes, copy-paste on)...")
         sps, inline_sps, workers = bench_host_pipeline()
         line = {
@@ -379,24 +396,57 @@ def main():
             "metric": "streaming_inference_fps_per_chip_uniform_bank",
             "error": str(e)[:200]}), flush=True)
 
-    try:
-        note("multi-stream serving (Bt=2)...")
-        model2, variables2 = init_model(jax.random.key(0), m, batch=8,
-                                        num_points=N, tta_fold=True)
-        bank2 = np.concatenate(
-            [skewed_scan_bank(rng, BANK, T, N) for _ in range(2)], axis=1)
-        fps2 = measure_stream(jax, jnp, model2, variables2, m, bank2, bt=2)
-        print(json.dumps({
-            "metric": "multi_stream_fps_per_chip_bt2",
-            "value": round(2 * fps2, 3),
-            "unit": "total frames/s across 2 parallel streams (TTAx4 each, "
-                    "160k pts; serving saturation point, docs/DESIGN.md)",
-            "vs_baseline": round(2 * fps2 / 10.0, 3),
-        }), flush=True)
-        del model2, variables2, bank2
-    except Exception as e:
-        print(json.dumps({"metric": "multi_stream_fps_per_chip_bt2",
-                          "error": str(e)[:200]}), flush=True)
+    # Bt in {2, 4}: the serving-saturation table (docs/DESIGN.md
+    # "Multi-stream serving") as regression-checked artifact lines
+    for bt in (2, 4):
+        try:
+            note(f"multi-stream serving (Bt={bt})...")
+            model2, variables2 = init_model(jax.random.key(0), m,
+                                            batch=4 * bt, num_points=N,
+                                            tta_fold=True)
+            bank2 = np.concatenate(
+                [skewed_scan_bank(rng, BANK, T, N) for _ in range(bt)],
+                axis=1)
+            fpsb = measure_stream(jax, jnp, model2, variables2, m, bank2,
+                                  bt=bt)
+            print(json.dumps({
+                "metric": f"multi_stream_fps_per_chip_bt{bt}",
+                "value": round(bt * fpsb, 3),
+                "unit": f"total frames/s across {bt} parallel streams "
+                        "(TTAx4 each, 160k pts)",
+                "vs_baseline": round(bt * fpsb / 10.0, 3),
+            }), flush=True)
+            del model2, variables2, bank2
+        except Exception as e:
+            print(json.dumps({"metric": f"multi_stream_fps_per_chip_bt{bt}",
+                              "error": str(e)[:200]}), flush=True)
+
+    # eval point-budget curve (VERDICT r4 task 3): every row-count-bound op
+    # scales with the 160k pad budget — the reference's worst-case
+    # assumption (data_StreamMOS.py:565-574), not a law; real seq-08 frames
+    # hold ~120-125k in-range points. 160k stays the reference-parity
+    # default (the headline); these lines quantify the serving lever.
+    for n_pts in (130000, 140000):
+        try:
+            note(f"point-budget sweep: N={n_pts}...")
+            model_n, variables_n = init_model(jax.random.key(0), m, batch=4,
+                                              num_points=n_pts,
+                                              tta_fold=True)
+            fps_n = measure_stream(jax, jnp, model_n, variables_n, m,
+                                   skewed_scan_bank(rng, BANK, T, n_pts))
+            print(json.dumps({
+                "metric": f"streaming_inference_fps_per_chip_{n_pts//1000}k",
+                "value": round(fps_n, 3),
+                "unit": f"frames/s (bs1, TTAx4, frame_point_num={n_pts}, "
+                        "range-skewed bank; serving guidance — 160k is the "
+                        "reference-parity default)",
+                "vs_baseline": round(fps_n / 10.0, 3),
+            }), flush=True)
+            del model_n, variables_n
+        except Exception as e:
+            print(json.dumps({
+                "metric": f"streaming_inference_fps_per_chip_{n_pts//1000}k",
+                "error": str(e)[:200]}), flush=True)
 
     try:
         fps = measure_stream(jax, jnp, model, variables, m,

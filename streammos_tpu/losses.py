@@ -24,15 +24,30 @@ import jax
 import jax.numpy as jnp
 
 
+def _pick_class(values: jax.Array, targets: jax.Array) -> jax.Array:
+    """values (..., C) -> the target-class entry per element, as a one-hot
+    masked sum instead of ``take_along_axis``.
+
+    C is tiny (3), so the select is pure elementwise work that XLA fuses
+    into the surrounding softmax — while the take_along_axis form lowers to
+    a 1-element-per-row gather whose forward costs ~1.4 ms per 130k points
+    on v5e and whose VJP is a 130k-row scatter-add (round-5 train trace,
+    losses.py CE sites: 10.4 ms/step total). ``where`` (not multiply) so a
+    -inf log-prob in a non-target lane cannot produce 0 * -inf = NaN."""
+    C = values.shape[-1]
+    onehot = targets[..., None] == jnp.arange(C, dtype=targets.dtype)
+    return jnp.where(onehot, values, 0.0).sum(axis=-1)
+
+
 def cross_entropy_per_element(logits: jax.Array, targets: jax.Array,
                               ignore_index: int = 0,
                               weight: jax.Array | None = None) -> jax.Array:
     """logits (..., C), targets (...); ignored positions get 0."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    nll = -_pick_class(logp, tgt)
     if weight is not None:
-        nll = nll * jnp.take(weight, tgt)
+        nll = nll * _pick_class(jnp.broadcast_to(weight, logp.shape), tgt)
     if ignore_index is not None:
         nll = jnp.where(targets == ignore_index, 0.0, nll)
     return nll
@@ -44,8 +59,18 @@ def ce_ohem(logits: jax.Array, targets: jax.Array, top_ratio: float = 0.2,
     """CE + top-k hard-example mining (criterion.py:20-27)."""
     loss = cross_entropy_per_element(logits, targets, ignore_index, weight)
     flat = loss.reshape(-1)
-    k = max(int(top_ratio * flat.shape[0]), 1)
-    top = jax.lax.sort(flat, is_stable=False)[flat.shape[0] - k:]
+    n = flat.shape[0]
+    k = max(int(top_ratio * n), 1)
+    # argsort on stop-grad keys + a k-row gather, instead of slicing a
+    # differentiable full sort: the value is identical (same top-k set, same
+    # tie-break-by-sort-order as torch.topk), but the backward touches only
+    # the k selected rows — a k-row scatter-add — where the sort's VJP
+    # scatter-adds ALL n rows (7.1 ms/step at the train shapes, round-5
+    # trace; the argsort form measures ~free, tools/bench_train_roofline.py).
+    _, idx = jax.lax.sort_key_val(jax.lax.stop_gradient(flat),
+                                  jnp.arange(n, dtype=jnp.int32),
+                                  is_stable=False)
+    top = jnp.take(flat, idx[n - k:])
     return flat.mean() + top_weight * top.mean()
 
 
@@ -56,19 +81,20 @@ def weighted_ce(logits: jax.Array, targets: jax.Array,
     weight[0] = 0 so unlabeled points are excluded)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     tgt = jnp.clip(targets, 0, logits.shape[-1] - 1)
-    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
-    w = jnp.take(weight, tgt)
+    nll = -_pick_class(logp, tgt)
+    w = _pick_class(jnp.broadcast_to(weight, logp.shape), tgt)
     return (nll * w).sum() / jnp.maximum(w.sum(), 1e-12)
 
 
 def _lovasz_grad_coeffs(fg_sorted: jax.Array) -> jax.Array:
-    """Jaccard surrogate gradient for one class over a sorted error run
-    (lovasz_losses.py lovasz_grad)."""
-    gts = fg_sorted.sum()
-    inter = gts - jnp.cumsum(fg_sorted, axis=0)
-    union = gts + jnp.cumsum(1.0 - fg_sorted, axis=0)
+    """Jaccard surrogate gradient over sorted error runs, batched over the
+    leading (class) axis (lovasz_losses.py lovasz_grad)."""
+    gts = fg_sorted.sum(axis=-1, keepdims=True)
+    inter = gts - jnp.cumsum(fg_sorted, axis=-1)
+    union = gts + jnp.cumsum(1.0 - fg_sorted, axis=-1)
     jacc = 1.0 - inter / jnp.maximum(union, 1e-12)
-    return jnp.concatenate([jacc[:1], jacc[1:] - jacc[:-1]], axis=0)
+    return jnp.concatenate([jacc[..., :1], jacc[..., 1:] - jacc[..., :-1]],
+                           axis=-1)
 
 
 def lovasz_softmax(logits: jax.Array, targets: jax.Array,
@@ -77,26 +103,45 @@ def lovasz_softmax(logits: jax.Array, targets: jax.Array,
 
     logits (..., C), targets (...). Classes with no (valid) foreground are
     excluded from the mean; all-ignored batches give 0.
+
+    TPU formulation (round 5): all C classes ride ONE batched multi-payload
+    sort, and the Jaccard coefficients — a stop-gradient function of the
+    sorted foreground run — are un-sorted back to element order with a second
+    key-value sort, so the loss is ``sum(errors * coeffs_unsorted)`` and the
+    backward pass is pure elementwise. The previous per-class form
+    differentiated through the sort, whose VJP is an n-row scatter-add per
+    class per call (21.4 ms/step at the train shapes, round-5 trace); sorts
+    themselves measure ~0.1 ms at 130k on v5e
+    (tools/bench_train_roofline.py), so both formulations' forward cost is
+    the sort-count-free part while the scatter-adds vanish. Value is
+    identical up to summation order and error ties (where the reference's
+    own coefficient assignment is equally arbitrary).
     """
     C = logits.shape[-1]
     probas = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).reshape(-1, C)
     labels = targets.reshape(-1)
+    n = labels.shape[0]
     valid = (labels != ignore_index).astype(jnp.float32)
 
-    losses = []
-    present = []
-    for c in range(C):
-        fg = ((labels == c).astype(jnp.float32)) * valid
-        errors = jnp.abs(fg - probas[:, c]) * valid  # ignored -> exactly 0
-        # descending sort on errors, carrying fg
-        neg_err, fg_sorted = jax.lax.sort_key_val(-errors, fg)
-        errors_sorted = -neg_err
-        coeffs = jax.lax.stop_gradient(_lovasz_grad_coeffs(fg_sorted))
-        losses.append(jnp.dot(errors_sorted, coeffs))
-        present.append((fg.sum() > 0).astype(jnp.float32))
+    classes = jnp.arange(C, dtype=labels.dtype)
+    fg = (labels[None, :] == classes[:, None]).astype(jnp.float32) * valid
+    errors = jnp.abs(fg - probas.T) * valid  # (C, n); ignored -> exactly 0
 
-    losses = jnp.stack(losses)
-    present = jnp.stack(present)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], (C, n))
+    # descending batched sort on stop-grad errors, carrying fg + positions;
+    # is_stable=False — stability costs 20-80% extra on v5e (/tmp probe,
+    # round 5: 1.67 -> 1.33 ms at 3x130k, 0.25 -> 0.12 at 3x65536) and ties
+    # only permute equal-error elements (value unchanged, coefficient
+    # assignment among ties as arbitrary as the reference's torch.sort)
+    _, fg_sorted, order = jax.lax.sort(
+        (-jax.lax.stop_gradient(errors), fg, iota), dimension=1, num_keys=1,
+        is_stable=False)
+    coeffs = _lovasz_grad_coeffs(fg_sorted)
+    # the unsort keys are a permutation (all distinct) — stability is moot
+    _, coeffs_unsorted = jax.lax.sort((order, coeffs), dimension=1,
+                                      num_keys=1, is_stable=False)
+    losses = (errors * jax.lax.stop_gradient(coeffs_unsorted)).sum(axis=1)
+    present = (fg.sum(axis=1) > 0).astype(jnp.float32)
     denom = present.sum()
     return jnp.where(denom > 0, (losses * present).sum() / jnp.maximum(denom, 1.0), 0.0)
 

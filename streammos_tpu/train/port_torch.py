@@ -279,6 +279,41 @@ def torch_state_dict_to_flax(state_dict: Dict[str, Array], cfg: ModelConfig,
     return {"params": params, "batch_stats": stats}
 
 
+_INVERSE: Dict[Any, Callable[[Array], Array]] = {
+    _conv: lambda w: np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1))),
+    _dense_from_1x1: lambda w: np.ascontiguousarray(w.T)[:, :, None, None],
+    _dense_from_linear: lambda w: np.ascontiguousarray(w.T),
+    _identity: np.ascontiguousarray,
+}
+
+
+def _get(tree: Dict[str, Any], path: PathT) -> Array:
+    node: Any = tree
+    for name in path:
+        node = node[name]
+    return node
+
+
+def flax_to_torch_state_dict(variables: Dict[str, Any], cfg: ModelConfig,
+                             with_refine: bool = False,
+                             dtype: Any = np.float32) -> Dict[str, Array]:
+    """Inverse port: a `StreamMOSNet` variables tree -> a reference
+    `AttNet.state_dict()`-shaped dict of numpy arrays (every live key the
+    forward port consumes; `num_batches_tracked` and dead modules are absent,
+    so load with ``strict=False``). Used to transplant OUR trained weights
+    into the torch reference for behavioral checks (e.g. the trained-weight
+    long-horizon drift harness, tests/test_long_horizon_parity.py)."""
+    mapping = build_mapping(cfg, with_refine)
+    out: Dict[str, Array] = {}
+    for tree_name, rules in (("params", mapping.params),
+                             ("batch_stats", mapping.stats)):
+        tree = variables[tree_name]
+        for path, key, fn in rules:
+            val = np.asarray(_get(tree, path), dtype=np.float32)
+            out[key] = _INVERSE[fn](val).astype(dtype)
+    return out
+
+
 def check_against_template(ported: Dict[str, Any], template: Dict[str, Any],
                            prefix: str = "") -> List[str]:
     """Compare the ported tree's structure/shapes against a flax-initialized

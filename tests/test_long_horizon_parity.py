@@ -80,10 +80,73 @@ class _StreamInputs:
                 "rv_coord": self.rv.astype(np.float32).copy()}
 
 
+def _train_production_weights(cfg, steps: int = 60, n_points: int = 2048):
+    """Briefly train the PRODUCTION model on a synthetic stream so the drift
+    harness can run on trained-distribution weights (VERDICT r4 task 5:
+    random weights produce unrealistically diffuse features; training
+    concentrates activations and exercises different numeric ranges).
+
+    Single-window point-CE SGD (not the full 3-window BPTT step — a third
+    of the graph, which matters because this compiles on the CPU test
+    backend); weight realism, not recipe parity, is what the drift probe
+    needs. Returns a float32 variables tree {params, batch_stats}."""
+    import optax
+
+    from streammos_tpu.losses import cross_entropy_per_element
+    from streammos_tpu.models import init_model
+    from streammos_tpu.models.stream_mos import featurize, memory_shape
+
+    model, variables = init_model(jax.random.key(SEED), cfg, batch=1,
+                                  num_points=n_points)
+    tx = optax.sgd(0.02, momentum=0.9, nesterov=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    memory = jnp.zeros(memory_shape(cfg, 1), jnp.float32)
+
+    @jax.jit
+    def step(params, stats, opt_state, xyzi, targets):
+        batch = featurize(xyzi, cfg)
+
+        def loss_fn(p):
+            out, new_vars = model.apply(
+                {"params": p, "batch_stats": stats},
+                batch["points"], batch["bev_coord"], batch["rv_coord"],
+                memory, jnp.asarray(False), train=True,
+                mutable=["batch_stats"])
+            return (cross_entropy_per_element(out["pred"], targets).mean(),
+                    new_vars["batch_stats"])
+
+        (_, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt
+
+    rng = np.random.RandomState(SEED)
+    for _ in range(steps):
+        xyz = rng.uniform(-45, 45, (1, 3, n_points, 3)).astype(np.float32)
+        xyz[..., 2] = rng.uniform(-3.5, 1.5, xyz.shape[:-1])
+        inten = rng.uniform(0, 1, (1, 3, n_points, 1)).astype(np.float32)
+        moving = rng.uniform(0, 1, (1, n_points)) < 0.15
+        targets = np.where(moving, 2, 1).astype(np.int32)
+        targets[rng.uniform(0, 1, targets.shape) < 0.1] = 0
+        params, stats, opt_state = step(
+            params, stats, opt_state,
+            jnp.asarray(np.concatenate([xyz, inten], -1)),
+            jnp.asarray(targets))
+    return {"params": jax.device_get(params),
+            "batch_stats": jax.device_get(stats)}
+
+
 def run_long_horizon(frames: int = 50, n_points: int = N_POINTS,
-                     verbose: bool = False):
+                     verbose: bool = False, weights: str = "random"):
     """Returns per-frame dicts: argmax agreement on the point head, relative
-    memory delta ||m_jax - m_torch|| / ||m_torch||, and logit peak."""
+    memory delta ||m_jax - m_torch|| / ||m_torch||, and logit peak.
+
+    weights="random": perturbed-init reference weights ported torch->flax
+    (the conservative probe — logits cluster near the decision boundary).
+    weights="trained": OUR briefly-trained production weights transplanted
+    flax->torch (`port_torch.flax_to_torch_state_dict`), so both frameworks
+    run the same trained-distribution parameters."""
     _, StreamMOS_seg, pModel = load_reference()
     torch.manual_seed(SEED)
     tmodel = StreamMOS_seg.AttNet(pModel)
@@ -93,8 +156,30 @@ def run_long_horizon(frames: int = 50, n_points: int = N_POINTS,
     cfg = get_config("StreamMOS").model  # production bf16 compute
     assert cfg.compute_dtype == "bfloat16"
     model = StreamMOSNet(cfg, with_refine=True)
-    variables = torch_state_dict_to_flax(numpy_state_dict(tmodel), cfg,
-                                         with_refine=True)
+    if weights == "trained":
+        from streammos_tpu.train.port_torch import flax_to_torch_state_dict
+
+        trained = _train_production_weights(cfg)
+        # the trunk is shared; the torch model's refine branch keeps its
+        # init (stage-2 trains only refine — the drift probe reads the
+        # trunk's point head, so transplant the trunk exactly)
+        sd = flax_to_torch_state_dict(trained, cfg, with_refine=False)
+        missing, unexpected = tmodel.load_state_dict(
+            {k: torch.from_numpy(v) for k, v in sd.items()}, strict=False)
+        assert not unexpected, unexpected[:5]
+        variables = {"params": trained["params"],
+                     "batch_stats": trained["batch_stats"]}
+        # re-attach the refine branch params the flax side still needs
+        # (stage-1 training doesn't create them; take the torch model's)
+        ref_vars = torch_state_dict_to_flax(numpy_state_dict(tmodel), cfg,
+                                            with_refine=True)
+        variables["params"]["refine"] = ref_vars["params"]["refine"]
+        if "refine" in ref_vars["batch_stats"]:
+            variables["batch_stats"]["refine"] = \
+                ref_vars["batch_stats"]["refine"]
+    else:
+        variables = torch_state_dict_to_flax(numpy_state_dict(tmodel), cfg,
+                                             with_refine=True)
     variables = jax.tree.map(jnp.asarray, variables)
 
     @jax.jit
@@ -135,8 +220,10 @@ def run_long_horizon(frames: int = 50, n_points: int = N_POINTS,
 
 
 @pytest.mark.slow
-def test_bf16_streaming_drift_50_frames():
-    curve = run_long_horizon(frames=50)
+@pytest.mark.parametrize("weights", ["random", "trained"])
+def test_bf16_streaming_drift_50_frames(weights):
+    frames = 50 if weights == "random" else 30  # trained adds a train phase
+    curve = run_long_horizon(frames=frames, weights=weights)
     last = curve[-1]
     tail = curve[-10:]
     # Stated bounds (see module docstring): agreement must hold >= 95% at
@@ -154,6 +241,8 @@ def test_bf16_streaming_drift_50_frames():
 
 if __name__ == "__main__":
     import json
+    import sys
 
-    curve = run_long_horizon(frames=50, verbose=True)
+    w = sys.argv[1] if len(sys.argv) > 1 else "random"
+    curve = run_long_horizon(frames=50, verbose=True, weights=w)
     print(json.dumps(curve))

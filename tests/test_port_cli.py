@@ -86,3 +86,24 @@ def test_port_cli_rejects_garbage(tmp_path):
         capture_output=True, text=True, cwd=REPO_ROOT)
     assert res.returncode != 0
     assert "state_dict" in (res.stderr + res.stdout)
+
+
+def test_inverse_port_roundtrip(torch_ckpt_file):
+    """flax -> torch must invert torch -> flax exactly on every live key
+    (the transplant direction the trained-weight drift harness uses)."""
+    from streammos_tpu.train.port_torch import flax_to_torch_state_dict
+
+    _, sd_np = torch_ckpt_file
+    cfg = get_config("StreamMOS").model
+    variables = torch_state_dict_to_flax(sd_np, cfg, with_refine=True)
+    back = flax_to_torch_state_dict(variables, cfg, with_refine=True)
+    assert set(back).issubset(set(sd_np))
+    for k, v in back.items():
+        np.testing.assert_array_equal(v, np.asarray(sd_np[k], np.float32),
+                                      err_msg=k)
+    # every live key round-trips; only dead modules + num_batches_tracked
+    # may be absent
+    from streammos_tpu.train.port_torch import DEAD_KEY_MARKERS
+    left = [k for k in sd_np if k not in back
+            and not any(m in k for m in DEAD_KEY_MARKERS)]
+    assert not left, left[:8]

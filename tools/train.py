@@ -45,6 +45,15 @@ def main():
                     help="disable in-train validation")
     ap.add_argument("--points", type=int, default=None,
                     help="override frame_point_num")
+    ap.add_argument("--max-steps", type=int, default=None,
+                    help="cap optimizer steps per epoch (dress-rehearsal "
+                         "runs at the production config; epoch-end "
+                         "checkpoint/val still happen)")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="override batch_size_per_device (the production "
+                         "deployment pick is bs1/chip — the reference's "
+                         "bs3/GPU maps to 3 chips under data parallelism, "
+                         "docs/DESIGN.md train campaign)")
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=0)
@@ -87,6 +96,8 @@ def main():
         cfg = dataclasses.replace(
             cfg, optimize=dataclasses.replace(cfg.optimize,
                                               end_epoch=args.epochs))
+    if args.batch_size:
+        cfg = dataclasses.replace(cfg, batch_size_per_device=args.batch_size)
     stage2 = cfg.freeze_except is not None
 
     save_path = os.path.join("experiments", cfg.name, args.tag)
@@ -185,6 +196,8 @@ def main():
         loader = PrefetchLoader(
             pool.batches(order, local_bs, TrainDataset.collate), depth=2)
         for it, local in enumerate(loader):
+            if args.max_steps is not None and it >= args.max_steps:
+                break
             windows = parallel.host_local_to_global(
                 mesh, {k: v for k, v in local.items()}, axis=1)
             key, sub = jax.random.split(key)
