@@ -112,6 +112,7 @@ def _train_production_weights(cfg, steps: int = 60, n_points: int = 2048):
                 {"params": p, "batch_stats": stats},
                 batch["points"], batch["bev_coord"], batch["rv_coord"],
                 memory, jnp.asarray(False), train=True,
+                rngs={"dropout": jax.random.key(0)},
                 mutable=["batch_stats"])
             return (cross_entropy_per_element(out["pred"], targets).mean(),
                     new_vars["batch_stats"])
