@@ -89,10 +89,15 @@ def deform_attn_sample(value: jax.Array, loc: jax.Array,
     lane_masks = [jnp.asarray((np.arange(4 * Dh) // Dh) == t,
                               dtype=value.dtype) for t in range(4)]
     w_lane = sum(wtap[..., t, None] * lane_masks[t] for t in range(4))
-    acc = (rows * w_lane).sum(axis=3)  # (B, M, Lq, 4*Dh)
-    # sum the 4 tap blocks down to Dh lanes with a constant 0/1 matmul
-    taps_fold = jnp.asarray(np.tile(np.eye(Dh), (4, 1)), value.dtype)
-    out = jnp.einsum("bmql,ld->bmqd", acc, taps_fold)
+    # contract the P axis AND the 4 tap blocks in ONE constant 0/1 matmul:
+    # (B*M*Lq, P*4*Dh) @ (P*4*Dh, Dh). The weighted rows fuse into the dot's
+    # operand, so the P-sum rides the MXU instead of a kLoop reduce fusion
+    # (which measured ~5x over its HBM floor: 0.52 ms/layer at the
+    # production eval shape — tools/bench_op_floors.py, round 5; the
+    # (P, 4*Dh) -> P*4*Dh flatten is a bitcast of the two minor dims).
+    wr = (rows * w_lane).reshape(B, M, Lq, P * 4 * Dh)
+    taps_fold = jnp.asarray(np.tile(np.eye(Dh), (P * 4, 1)), value.dtype)
+    out = jnp.einsum("bmqk,kd->bmqd", wr, taps_fold)
     return out.transpose(0, 2, 1, 3).reshape(B, Lq, M * Dh)
 
 

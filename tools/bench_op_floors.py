@@ -52,10 +52,18 @@ def shape_bytes(sh: str) -> int:
 COMP_HDR_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*(\(.*\))\s*->\s*(\S+)")
 FUSION_RE = re.compile(
     r"^\s+%?([\w.\-]+) = (\S+) fusion\(.*calls=%?([\w.\-]+)")
+# standalone data-formatting instructions the trace times under their own
+# names (no fused computation): copies, pads, transposes, bitcast-copies.
+# Their floor is in-bytes + out-bytes of the one instruction.
+FORMAT_RE = re.compile(
+    r"^\s+%?([\w.\-]+) = (\S+) (copy|pad|transpose|bitcast-convert)\(")
 
 
 def parse_hlo(txt):
-    """fusion name -> (out shape str, param shapes str, op_name, src)."""
+    """instr name -> (out shape str, param shapes str, op_name, src).
+
+    Covers named fusions (operand shapes from the called computation's
+    signature) and standalone formatting ops (operand ~= output shape)."""
     comp_sig = {}
     for line in txt.splitlines():
         if line and not line[0].isspace() and "{" in line:
@@ -65,15 +73,24 @@ def parse_hlo(txt):
     out = {}
     for line in txt.splitlines():
         m = FUSION_RE.match(line)
-        if not m:
-            continue
-        name, shape, comp = m.groups()
-        params, _ = comp_sig.get(comp, ("", ""))
+        if m:
+            name, shape, comp = m.groups()
+            params, _ = comp_sig.get(comp, ("", ""))
+            op_kind = None
+        else:
+            m = FORMAT_RE.match(line)
+            if not m:
+                continue
+            name, shape, op_kind = m.groups()
+            params = shape  # one operand, same element count as the output
         mo = OPNAME_RE.search(line)
         ms = SRC_RE.search(line)
         src = (os.path.basename(ms.group(1)) + ":" + ms.group(2)) if ms \
             else ""
-        out[name] = (shape, params, mo.group(1) if mo else "", src)
+        op_name = mo.group(1) if mo else ""
+        if op_kind is not None:
+            op_name = (op_name + "/" + op_kind) if op_name else op_kind
+        out[name] = (shape, params, op_name, src)
     return out
 
 
@@ -83,6 +100,8 @@ def family_of(op_name: str) -> str:
               "conv", "dot"):
         if w in prim:
             return w
+    if prim in ("copy", "pad", "transpose", "bitcast-convert"):
+        return "formatting"
     return "elementwise"
 
 
@@ -124,10 +143,11 @@ def main():
     ap.add_argument("--trace", default=None)
     ap.add_argument("--hlo", default=None)
     ap.add_argument("--top", type=int, default=25)
-    ap.add_argument("--families", nargs="*", default=["elementwise"],
+    ap.add_argument("--families", nargs="*",
+                    default=["elementwise", "formatting"],
                     help="op families to tabulate (default: the residue — "
-                         "elementwise/formatting; scatter/gather/conv have "
-                         "their own rooflines)")
+                         "elementwise + formatting; scatter/gather/conv "
+                         "have their own rooflines)")
     ap.add_argument("--min-ms", type=float, default=0.15)
     args = ap.parse_args()
 
